@@ -1,0 +1,148 @@
+"""Numerical parity of core ops against torch (SURVEY.md §4 prescription b)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+
+from mgvae_tpu.ops.init import (
+    gru_cell_apply,
+    gru_cell_init,
+    layernorm_apply,
+    layernorm_init,
+    linear_apply,
+    linear_init,
+)
+from mgvae_tpu.ops.mlp import batchnorm_apply, batchnorm_init, mlp_apply, mlp_init
+from mgvae_tpu.ops.segment import segment_softmax, segment_sum
+
+torch.manual_seed(0)
+
+
+def t2j(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+def test_linear_matches_torch():
+    lin = torch.nn.Linear(16, 8)
+    p = {"w": t2j(lin.weight).T, "b": t2j(lin.bias)}
+    x = torch.randn(5, 16)
+    np.testing.assert_allclose(
+        np.asarray(linear_apply(p, t2j(x))), lin(x).detach().numpy(), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_gru_cell_matches_torch():
+    gru = torch.nn.GRU(12, 20)
+    p = {
+        "w_ih": t2j(gru.weight_ih_l0).T,
+        "w_hh": t2j(gru.weight_hh_l0).T,
+        "b_ih": t2j(gru.bias_ih_l0),
+        "b_hh": t2j(gru.bias_hh_l0),
+    }
+    x = torch.randn(7, 12)
+    h = torch.randn(7, 20)
+    # reference call pattern: GRU(msg.unsqueeze(0), h.unsqueeze(0)) -> h_n
+    _, h_n = gru(x.unsqueeze(0), h.unsqueeze(0))
+    ours = gru_cell_apply(p, t2j(x), t2j(h))
+    np.testing.assert_allclose(np.asarray(ours), h_n.squeeze(0).detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_layernorm_matches_torch():
+    ln = torch.nn.LayerNorm(32)
+    with torch.no_grad():
+        ln.weight.uniform_(0.5, 1.5)
+        ln.bias.uniform_(-0.5, 0.5)
+    p = {"w": t2j(ln.weight), "b": t2j(ln.bias)}
+    x = torch.randn(9, 32)
+    np.testing.assert_allclose(
+        np.asarray(layernorm_apply(p, t2j(x))), ln(x).detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_batchnorm_train_and_eval_match_torch():
+    bn = torch.nn.BatchNorm1d(6)
+    with torch.no_grad():
+        bn.weight.uniform_(0.5, 1.5)
+        bn.bias.uniform_(-0.5, 0.5)
+    params = {"w": t2j(bn.weight), "b": t2j(bn.bias)}
+    state = {"mean": jnp.zeros(6), "var": jnp.ones(6)}
+    x = torch.randn(11, 6)
+    # train step
+    bn.train()
+    y_t = bn(x)
+    y_j, state = batchnorm_apply(params, state, t2j(x), train=True)
+    np.testing.assert_allclose(np.asarray(y_j), y_t.detach().numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state["mean"]), bn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state["var"]), bn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+    # eval step
+    bn.eval()
+    x2 = torch.randn(4, 6)
+    y_t2 = bn(x2)
+    y_j2, _ = batchnorm_apply(params, state, t2j(x2), train=False)
+    np.testing.assert_allclose(np.asarray(y_j2), y_t2.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_batchnorm_masked_ignores_padding():
+    params, state = batchnorm_init(3)
+    x = jnp.asarray(np.random.randn(10, 3).astype(np.float32))
+    pad = jnp.concatenate([x, jnp.full((5, 3), 99.0)], axis=0)
+    valid = jnp.arange(15) < 10
+    y_ref, st_ref = batchnorm_apply(params, state, x, train=True)
+    y_pad, st_pad = batchnorm_apply(params, state, pad, valid=valid, train=True)
+    np.testing.assert_allclose(np.asarray(y_pad[:10]), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_pad["mean"]), np.asarray(st_ref["mean"]), rtol=1e-5, atol=1e-6)
+
+
+def test_mlp_matches_torch_readout_prob_shape():
+    """MLP(D, 32, 1, num_layer=3, batchnorm, relu) == torch stack, eval mode."""
+    D = 64
+    key = jax.random.PRNGKey(1)
+    params, state = mlp_init(key, D, 32, 1, num_layer=3, norm_layer="batchnorm")
+    # build equivalent torch module and copy OUR params into it
+    layers = []
+    dims = [D, 32, 32, 1]
+    tlin = [torch.nn.Linear(dims[i], dims[i + 1]) for i in range(3)]
+    tbn = [torch.nn.BatchNorm1d(32) for _ in range(2)]
+    with torch.no_grad():
+        for i, l in enumerate(tlin):
+            l.weight.copy_(torch.from_numpy(np.asarray(params["layers"][i]["w"]).T))
+            l.bias.copy_(torch.from_numpy(np.asarray(params["layers"][i]["b"])))
+        for i, b in enumerate(tbn):
+            b.weight.copy_(torch.from_numpy(np.asarray(params["bn"][i]["w"])))
+            b.bias.copy_(torch.from_numpy(np.asarray(params["bn"][i]["b"])))
+    seq = torch.nn.Sequential(
+        tlin[0], tbn[0], torch.nn.ReLU(), torch.nn.Dropout(0.2),
+        tlin[1], tbn[1], torch.nn.ReLU(), torch.nn.Dropout(0.2),
+        tlin[2],
+    )
+    seq.eval()
+    x = torch.randn(13, D)
+    y_t = seq(x)
+    y_j, _ = mlp_apply(params, state, t2j(x), train=False, p_drop=0.2, act="relu")
+    np.testing.assert_allclose(np.asarray(y_j), y_t.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_segment_softmax_matches_dense_softmax():
+    scores = jnp.asarray([1.0, 2.0, 3.0, -1.0, 0.5])
+    seg = jnp.asarray([0, 0, 1, 1, 1])
+    out = segment_softmax(scores, seg, 2)
+    d0 = np.exp([1.0, 2.0]) / np.exp([1.0, 2.0]).sum()
+    d1 = np.exp([3.0, -1.0, 0.5]) / np.exp([3.0, -1.0, 0.5]).sum()
+    np.testing.assert_allclose(np.asarray(out), np.concatenate([d0, d1]), rtol=1e-6)
+
+
+def test_segment_softmax_masks_padding():
+    scores = jnp.asarray([1.0, 100.0, 2.0])
+    seg = jnp.asarray([0, 0, 0])
+    valid = jnp.asarray([True, False, True])
+    out = segment_softmax(scores, seg, 1, valid=valid)
+    expected = np.exp([1.0, 2.0]) / np.exp([1.0, 2.0]).sum()
+    assert float(out[1]) == 0.0
+    np.testing.assert_allclose(np.asarray(out)[[0, 2]], expected, rtol=1e-6)
+
+
+def test_segment_sum_basic():
+    data = jnp.ones((4, 2))
+    out = segment_sum(data, jnp.asarray([0, 1, 1, 3]), 4)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), [1, 2, 0, 1])
