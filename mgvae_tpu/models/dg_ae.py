@@ -1,0 +1,238 @@
+"""DG_AE: the DeepGate-style multi-gate auto-encoder, TPU-native.
+
+Rebuilds the four per-modality models (DG_VAE/deepgate/dg_ae_model_{aig,mig,
+xag,xmg}.py) as ONE parameterized skeleton. The reference dispatches to
+disjoint per-gate-type aggregator/GRU modules inside a serial Python loop
+over DAG levels with per-level ``subgraph`` edge filtering
+(dg_ae_model_mig.py:84-129). Because node updates within a level are
+independent and the per-type branches are disjoint, that is mathematically a
+single level-synchronous update with type-indexed parameters. We therefore:
+
+  * stack all gate-type expert weights into single [in, T*out] matrices so
+    each level step is ONE MXU matmul followed by a cheap per-node expert
+    selection (static MoE dispatch — no routing collectives);
+  * drive the level loop with ``lax.scan`` over the pre-bucketed [L, *]
+    level tables emitted by the data layer (static shapes, no recompiles);
+  * compute the TFMlpAggr attention (arch/tfmlp.py:37-46) as a decomposed
+    dst-query / src-key score plus a masked segment softmax within the
+    level's edge chunk.
+
+Input quirk (SURVEY.md §8 quirk 3): the reference feeds the struct encoder
+``one_hot(x[:, 1])`` where ``x`` is already one-hot, collapsing the input to
+two distinct rows. ``input_quirk=True`` (default) replicates this for
+parity; ``False`` feeds the evidently-intended gate one-hot.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..data.graph import MODALITY_GATES, NUM_GATE_TYPES
+from ..ops.init import gru_cell_init, linear_apply, linear_init
+from ..ops.mlp import mlp_init
+from ..ops.segment import segment_softmax, segment_sum
+from .encoder import direct_multigcn_apply, direct_multigcn_init
+
+
+@dataclasses.dataclass(frozen=True)
+class DGConfig:
+    modality: str = "mig"
+    dim_hidden: int = 64
+    dim_feature: int = 6
+    s_rounds: int = 4
+    t_rounds: int = 4
+    layernorm: bool = False
+    num_rounds: int = 1          # never overridden in the reference (quirk 17)
+    input_quirk: bool = True
+    variational: bool = False    # DG_VAE mode (adds mu/logstd heads)
+    dim_mlp: int = 32
+    compute_dtype: str = "float32"  # set "bfloat16" for TPU throughput mode
+
+    @property
+    def gate_types(self) -> tuple:
+        return MODALITY_GATES[self.modality]
+
+    @property
+    def num_experts(self) -> int:
+        return len(self.gate_types)
+
+    @property
+    def expert_of_gate(self):
+        table = [-1] * NUM_GATE_TYPES
+        for i, g in enumerate(self.gate_types):
+            table[g] = i
+        return jnp.asarray(table, dtype=jnp.int32)
+
+
+def init_params(key, cfg: DGConfig, dtype=jnp.float32):
+    D, T = cfg.dim_hidden, cfg.num_experts
+    keys = jax.random.split(key, 16)
+    params = {
+        "struct": direct_multigcn_init(keys[0], D, cfg.dim_feature, cfg.layernorm, dtype),
+        "hs_linear": linear_init(keys[1], 2 * D, D, dtype),
+        "hs_decompose": linear_init(keys[2], D, 2 * D, dtype),
+        "experts": _experts_init(keys[3], cfg, dtype),
+    }
+    ro_params, ro_state = mlp_init(keys[4], D, cfg.dim_mlp, 1, num_layer=3, norm_layer="batchnorm", dtype=dtype)
+    params["readout_prob"] = ro_params
+    if cfg.variational:
+        params["fc_s_mu"] = linear_init(keys[5], D, D, dtype)
+        params["fc_s_logstd"] = linear_init(keys[6], D, D, dtype)
+        params["fc_t_mu"] = linear_init(keys[7], D, D, dtype)
+        params["fc_t_logstd"] = linear_init(keys[8], D, D, dtype)
+    state = {"readout_prob": ro_state}
+    return params, state
+
+
+def _experts_init(key, cfg: DGConfig, dtype):
+    """Per-gate-type TFMlpAggr + GRU params, stacked along a T axis.
+
+    Layouts: matmul weights concatenated to [in, T*out] (single-matmul
+    dispatch); biases/vectors kept as [T, out] for per-node gather.
+    Initialization matches per-module torch init (each expert drawn
+    independently, identical distribution).
+    """
+    D, T = cfg.dim_hidden, cfg.num_experts
+    per = {"wq": [], "bq": [], "wk": [], "bk": [], "wv": [], "bv": [],
+           "wa_q": [], "wa_k": [], "ba": [],
+           "w_ih": [], "w_hh": [], "b_ih": [], "b_hh": []}
+    for t in range(T):
+        key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+        q = linear_init(k1, 2 * D, D, dtype)
+        k_ = linear_init(k2, 2 * D, D, dtype)
+        v = linear_init(k3, 2 * D, D, dtype)
+        # attn_lin: Linear(2D, 1) split into query/key halves (tfmlp.py:24,42)
+        a = linear_init(k4, 2 * D, 1, dtype)
+        gru = gru_cell_init(k5, D, D, dtype)
+        per["wq"].append(q["w"]); per["bq"].append(q["b"])
+        per["wk"].append(k_["w"]); per["bk"].append(k_["b"])
+        per["wv"].append(v["w"]); per["bv"].append(v["b"])
+        per["wa_q"].append(a["w"][:D, 0]); per["wa_k"].append(a["w"][D:, 0])
+        per["ba"].append(a["b"][0])
+        per["w_ih"].append(gru["w_ih"]); per["w_hh"].append(gru["w_hh"])
+        per["b_ih"].append(gru["b_ih"]); per["b_hh"].append(gru["b_hh"])
+    return {
+        # [2D, T*D] — one matmul computes q/k/v for every expert
+        "wq": jnp.concatenate(per["wq"], axis=1),
+        "wk": jnp.concatenate(per["wk"], axis=1),
+        "wv": jnp.concatenate(per["wv"], axis=1),
+        "bq": jnp.stack(per["bq"]),        # [T, D]
+        "bk": jnp.stack(per["bk"]),
+        "bv": jnp.stack(per["bv"]),
+        "wa_q": jnp.stack(per["wa_q"]),    # [T, D]
+        "wa_k": jnp.stack(per["wa_k"]),
+        "ba": jnp.stack(per["ba"]),        # [T]
+        "w_ih": jnp.concatenate(per["w_ih"], axis=1),  # [D, T*3D]
+        "w_hh": jnp.concatenate(per["w_hh"], axis=1),
+        "b_ih": jnp.stack(per["b_ih"]),    # [T, 3D]
+        "b_hh": jnp.stack(per["b_hh"]),
+    }
+
+
+def _select_expert(stacked: jnp.ndarray, expert: jnp.ndarray, T: int) -> jnp.ndarray:
+    """stacked: [N, T*D] -> per-row expert slice [N, D]."""
+    n = stacked.shape[0]
+    d = stacked.shape[1] // T
+    resh = stacked.reshape(n, T, d)
+    return jnp.take_along_axis(resh, expert[:, None, None], axis=1)[:, 0, :]
+
+
+def struct_input(gate: jnp.ndarray, cfg: DGConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """Struct-encoder input features [N, dim_feature].
+
+    quirk mode: one_hot(x[:,1]) of the already-one-hot features — i.e.
+    one_hot(gate == 1) (dg_ae_model_mig.py:71). fixed mode: one_hot(gate).
+    """
+    ids = jnp.where(gate == 1, 1, 0) if cfg.input_quirk else gate
+    return jax.nn.one_hot(ids, cfg.dim_feature, dtype=dtype)
+
+
+def forward(params, batch, cfg: DGConfig, rng=None):
+    """Model.forward: returns (hs, hf, aux).
+
+    aux carries the VAE posterior stats when cfg.variational (the fixed
+    DG_VAE path — the reference's is broken, SURVEY.md §8 quirk 12) and is
+    empty otherwise.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    D, T = cfg.dim_hidden, cfg.num_experts
+    gate = batch["gate"]
+    x_feat = struct_input(gate, cfg, dtype)
+    s, t = direct_multigcn_apply(
+        params["struct"], x_feat, batch["edge_src"], batch["edge_dst"],
+        batch["edge_valid"], cfg.s_rounds, cfg.t_rounds, cfg.layernorm,
+    )
+    aux = {}
+    if cfg.variational:
+        assert rng is not None, "variational forward needs an rng"
+        s_mu = linear_apply(params["fc_s_mu"], s)
+        s_logstd = linear_apply(params["fc_s_logstd"], s)
+        t_mu = linear_apply(params["fc_t_mu"], t)
+        t_logstd = linear_apply(params["fc_t_logstd"], t)
+        ks, kt = jax.random.split(rng)
+        s = s_mu + jnp.exp(s_logstd) * jax.random.normal(ks, s_mu.shape, s_mu.dtype)
+        t = t_mu + jnp.exp(t_logstd) * jax.random.normal(kt, t_mu.shape, t_mu.dtype)
+        aux = {"s_mu": s_mu, "s_logstd": s_logstd, "t_mu": t_mu, "t_logstd": t_logstd}
+
+    hs = linear_apply(params["hs_linear"], jnp.concatenate([s, t], axis=-1))
+    hf = jnp.zeros_like(hs)
+    expert = cfg.expert_of_gate[gate]          # [N], -1 for non-expert gates
+    ex = params["experts"]
+
+    def level_step(hf, lv):
+        nodes = lv["nodes"]                     # [Np]
+        upd_mask = lv["node_valid"] & (expert[nodes] >= 0)
+        e_dst = jnp.maximum(expert[nodes], 0)   # [Np]
+        hf_dst = hf[nodes]
+        state_dst = jnp.concatenate([hs[nodes], hf_dst], axis=-1)
+        q = _select_expert(state_dst @ ex["wq"], e_dst, T) + ex["bq"][e_dst]
+        aq = jnp.sum(q * ex["wa_q"][e_dst], axis=-1) + ex["ba"][e_dst]
+
+        src = lv["edge_src"]                    # [Ep]
+        dslot = lv["edge_dst_slot"]
+        evalid = lv["edge_valid"]
+        e_edge = e_dst[dslot]
+        state_src = jnp.concatenate([hs[src], hf[src]], axis=-1)
+        k = _select_expert(state_src @ ex["wk"], e_edge, T) + ex["bk"][e_edge]
+        v = _select_expert(state_src @ ex["wv"], e_edge, T) + ex["bv"][e_edge]
+        score = aq[dslot] + jnp.sum(k * ex["wa_k"][e_edge], axis=-1)
+        np_ = nodes.shape[0]
+        attn = segment_softmax(score, dslot, np_, valid=evalid)
+        msg = segment_sum(v * attn[:, None], dslot, np_)   # [Np, D]
+
+        gi = _select_expert(msg @ ex["w_ih"], e_dst, T) + ex["b_ih"][e_dst]
+        gh = _select_expert(hf_dst @ ex["w_hh"], e_dst, T) + ex["b_hh"][e_dst]
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        nw = jnp.tanh(i_n + r * h_n)
+        hf_new = (1.0 - z) * nw + z * hf_dst
+        hf_new = jnp.where(upd_mask[:, None], hf_new, hf_dst)
+        return hf.at[nodes].set(hf_new), None
+
+    lv = {
+        "nodes": batch["lv_nodes"],
+        "node_valid": batch["lv_node_valid"],
+        "edge_src": batch["lv_edge_src"],
+        "edge_dst_slot": batch["lv_edge_dst_slot"],
+        "edge_valid": batch["lv_edge_valid"],
+    }
+    for _ in range(cfg.num_rounds):
+        hf, _ = jax.lax.scan(level_step, hf, lv)
+    return hs, hf, aux
+
+
+def hs_decompose(params, hs):
+    """hs -> (s, t) for the directed inner-product decoder
+    (dg_ae_model_mig.py:170)."""
+    st = linear_apply(params["hs_decompose"], hs)
+    return jnp.split(st, 2, axis=-1)
+
+
+def decode_edges(s, t, src, dst, sigmoid=True):
+    """DirectedInnerProductDecoder.forward (digae_layer.py:26-33)."""
+    logits = jnp.sum(s[src] * t[dst], axis=-1)
+    return jax.nn.sigmoid(logits) if sigmoid else logits
