@@ -37,11 +37,14 @@ def bucket(x: int, minimum: int = 8) -> int:
     raise AssertionError
 
 
-def collate(graphs: list[CircuitGraph], pad_graphs_to: int | None = None) -> dict:
+def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
     """Disjoint-union + pad a list of circuits into one static-shape batch.
 
     Returns a dict of numpy arrays (see keys below); convert with
     jax.tree.map(jnp.asarray, batch) or feed directly to jitted fns.
+
+    ``dims``: optional {'N','E','P','L','NP','EP'} overrides so several
+    shards (one per device) can share identical padded shapes.
     """
     assert graphs, "empty batch"
     n_graphs = len(graphs)
@@ -95,12 +98,16 @@ def collate(graphs: list[CircuitGraph], pad_graphs_to: int | None = None) -> dic
     ep_real = max((len(x) for x in lv_edge_lists), default=0)
 
     # ---- padded dims ---------------------------------------------------
-    N = bucket(n + 1)          # >=1 padding node: slot ``n`` is scatter dump
-    E = bucket(e)
-    P = bucket(p)
-    L = bucket(max(lv_real, 1))
-    NP = bucket(max(np_real, 1))
-    EP = bucket(max(ep_real, 1))
+    dims = dims or {}
+    N = dims.get("N", bucket(n + 1))   # >=1 padding node: slot ``n`` is scatter dump
+    E = dims.get("E", bucket(e))
+    P = dims.get("P", bucket(p))
+    L = dims.get("L", bucket(max(lv_real, 1)))
+    NP = dims.get("NP", bucket(max(np_real, 1)))
+    EP = dims.get("EP", bucket(max(ep_real, 1)))
+    assert N > n and E >= e and P >= p and L >= lv_real and NP >= np_real and EP >= ep_real, (
+        "dims overrides too small for this shard"
+    )
     dump = n  # first padding node
 
     out = {
@@ -159,6 +166,29 @@ def _mask(k: int, size: int) -> np.ndarray:
     m = np.zeros(size, dtype=bool)
     m[:k] = True
     return m
+
+
+def natural_dims(graphs: list[CircuitGraph]) -> dict:
+    """The padded dims collate() would pick for this shard."""
+    b = collate(graphs)
+    return {
+        "N": b["gate"].shape[0],
+        "E": b["edge_src"].shape[0],
+        "P": b["tt_pair_a"].shape[0],
+        "L": b["lv_nodes"].shape[0],
+        "NP": b["lv_nodes"].shape[1],
+        "EP": b["lv_edge_src"].shape[1],
+    }
+
+
+def collate_shards(shards: list[list[CircuitGraph]]) -> dict:
+    """Collate one shard per device with COMMON padded dims and stack a
+    leading 'dp' axis — the host-side half of shard_map data parallelism
+    (the DistributedSampler equivalent, trainer.py:179-192)."""
+    all_dims = [natural_dims(s) for s in shards]
+    dims = {k: max(d[k] for d in all_dims) for k in all_dims[0]}
+    batches = [collate(s, dims=dims) for s in shards]
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
 
 
 def batch_shape_key(batch: dict) -> tuple:

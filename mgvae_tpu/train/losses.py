@@ -1,0 +1,134 @@
+"""Training losses, fully in-graph (jit-safe, masked for padding).
+
+Rebuilds Trainer.run_batch (DG_VAE/deepgate/trainer.py:131-174) +
+Model.recon_loss (dg_ae_model_mig.py:169-191):
+
+  recon: -log sigma(s_u . t_v) over positive edges plus -log(1 - sigma) over
+         E uniformly-sampled negative pairs. The reference's PyG
+         ``negative_sampling`` rejects existing edges; we sample uniformly
+         with a self-loop-free shift (collision probability with real edges
+         is O(E/N^2) — negligible on circuit graphs; documented deviation).
+  prob:  L1(clamp(readout_prob(hf), 0, 1), prob)   (trainer.py:154-156)
+  func:  L1(zscore(1 - cos(hf_a, hf_b)), zscore(tt_dis)) with torch's
+         unbiased std (trainer.py:158-163, utils/utils.py:32-36)
+  kl:    the DG_VAE term exactly as consumed by the trainer
+         (trainer.py:146-148), including its double 1/N normalization.
+
+The reference's "edge split" is a no-op shuffle that also allocates an
+O(N^2) mask (SURVEY.md §8 quirk 7) — the shuffle doesn't change any loss
+here, so the whole step is elided.
+
+Binary recon metrics (acc/TP/FP/TN/FN, trainer.py:236-244) are computed
+in-graph as counts so no device->host sync happens per iteration.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.dg_ae import decode_edges, hs_decompose
+from ..ops.mlp import mlp_apply
+
+EPS = 1e-15
+_COS_EPS = 1e-8
+
+
+def masked_mean(x, valid, count=None):
+    v = valid.astype(x.dtype)
+    if count is None:
+        count = jnp.maximum(jnp.sum(v), 1.0)
+    return jnp.sum(x * v) / count
+
+
+def masked_zscore(x, valid, count):
+    """z-normalization with torch.std's unbiased (n-1) denominator
+    (utils/utils.py:32-36)."""
+    v = valid.astype(x.dtype)
+    mean = jnp.sum(x * v) / count
+    var = jnp.sum(jnp.square(x - mean) * v) / jnp.maximum(count - 1.0, 1.0)
+    return (x - mean) * jax.lax.rsqrt(jnp.maximum(var, 1e-30))
+
+
+def sample_negative_edges(rng, num_samples: int, n_nodes):
+    """Fixed-shape uniform negative pairs over the valid node range,
+    self-loop free (src != dst by construction)."""
+    k1, k2 = jax.random.split(rng)
+    n = jnp.maximum(n_nodes.astype(jnp.uint32), 2)
+    src = (jax.random.uniform(k1, (num_samples,)) * n).astype(jnp.int32)
+    # dst = (src + 1 + u % (n-1)) % n  => never equals src
+    off = (jax.random.uniform(k2, (num_samples,)) * (n - 1)).astype(jnp.int32)
+    dst = (src + 1 + off) % n.astype(jnp.int32)
+    return src, dst
+
+
+def recon_loss(params, hs, batch, rng, neg_edges=None):
+    """Returns (loss, metrics-dict of scalar counts).
+
+    ``neg_edges``: optional explicit (src, dst) negative pairs (parity tests
+    feed the same negatives to both frameworks); default samples in-graph.
+    """
+    s, t = hs_decompose(params, hs)
+    ev = batch["edge_valid"]
+    e_count = batch["n_edges"].astype(hs.dtype)
+    pos_pred = decode_edges(s, t, batch["edge_src"], batch["edge_dst"])
+    pos_loss = masked_mean(-jnp.log(pos_pred + EPS), ev, e_count)
+
+    if neg_edges is None:
+        neg_src, neg_dst = sample_negative_edges(rng, batch["edge_src"].shape[0], batch["n_nodes"])
+    else:
+        neg_src, neg_dst = neg_edges
+    neg_pred = decode_edges(s, t, neg_src, neg_dst)
+    neg_loss = masked_mean(-jnp.log(1.0 - neg_pred + EPS), ev, e_count)
+
+    vf = ev.astype(hs.dtype)
+    pos_bin = (pos_pred > 0.5).astype(hs.dtype) * vf
+    neg_bin = (neg_pred > 0.5).astype(hs.dtype) * vf
+    metrics = {
+        "tp": jnp.sum(pos_bin),
+        "fn": e_count - jnp.sum(pos_bin),
+        "fp": jnp.sum(neg_bin),
+        "tn": e_count - jnp.sum(neg_bin),
+        "n_pred": 2.0 * e_count,
+    }
+    return pos_loss + neg_loss, metrics
+
+
+def prob_loss(params, state, hf, batch, train: bool, rng):
+    """Returns (loss, new_readout_state)."""
+    valid = batch["node_valid"]
+    out, new_state = mlp_apply(
+        params["readout_prob"], state["readout_prob"], hf,
+        valid=valid, train=train, p_drop=0.2, act="relu", rng=rng,
+    )
+    pred = jnp.clip(out[:, 0], 0.0, 1.0)
+    l1 = jnp.abs(pred - batch["prob"])
+    return masked_mean(l1, valid, batch["n_nodes"].astype(hf.dtype)), {"readout_prob": new_state}
+
+
+def func_loss(hf, batch):
+    a = hf[batch["tt_pair_a"]]
+    b = hf[batch["tt_pair_b"]]
+    # torch.cosine_similarity(eps): norms clamped to eps individually
+    na = jnp.maximum(jnp.linalg.norm(a, axis=-1), _COS_EPS)
+    nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), _COS_EPS)
+    cos = jnp.sum(a * b, axis=-1) / (na * nb)
+    emb_dis = 1.0 - cos
+    valid = batch["tt_valid"]
+    count = batch["n_tt"].astype(hf.dtype)
+    emb_z = masked_zscore(emb_dis, valid, count)
+    tt_z = masked_zscore(batch["tt_dis"], valid, count)
+    return masked_mean(jnp.abs(emb_z - tt_z), valid, count)
+
+
+def kl_loss(aux, batch):
+    """trainer.py:146-148 formula (note the double 1/N: mean over nodes AND
+    the -0.5/N factor — replicated deliberately)."""
+    n = batch["n_nodes"].astype(aux["s_mu"].dtype)
+    valid = batch["node_valid"]
+
+    def one(mu, logstd):
+        term = 1.0 + 2.0 * logstd - jnp.square(mu) - jnp.square(jnp.exp(logstd))
+        per_node = jnp.sum(term, axis=1)
+        return (-0.5 / n) * masked_mean(per_node, valid, n)
+
+    return one(aux["s_mu"], aux["s_logstd"]) + one(aux["t_mu"], aux["t_logstd"])

@@ -1,0 +1,117 @@
+"""Jitted train/eval steps, single-chip and shard_map data-parallel.
+
+One fused XLA program per step: forward (struct encode + level scan), all
+losses, backward, Adam update — replacing the reference's eager loop
+(trainer.py:208-234). The reference initializes NCCL but never wraps the
+model in DDP, so ranks silently diverge (SURVEY.md §8 quirk 1); here
+gradients (and BatchNorm running stats) are ``pmean``-ed over the ``dp``
+mesh axis inside the step — a deliberate, documented correctness upgrade
+riding ICI collectives.
+
+Loss weighting: trainer.py:229-231 uses only [recon, prob, func]; the KL
+term is computed but NEVER added to the total (the VAE is vestigial in the
+reference). We keep that parity by default (kl weight 0) but expose a real
+kl weight for the fixed DG_VAE mode.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ..models.dg_ae import DGConfig, forward
+from .losses import func_loss, kl_loss, prob_loss, recon_loss
+
+
+def make_optimizer(lr: float):
+    """Adam with torch defaults; learning rate is a mutable hyperparam so
+    the 3-stage schedule / lr-step decay never trigger recompilation."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def set_lr(opt_state, lr):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state
+
+
+def loss_and_metrics(params, state, batch, rng, weights, cfg: DGConfig, train: bool):
+    """weights: [w_recon, w_prob, w_func, w_kl]."""
+    k_vae, k_neg, k_drop = jax.random.split(rng, 3)
+    hs, hf, aux = forward(params, batch, cfg, rng=k_vae if cfg.variational else None)
+    rc, rc_metrics = recon_loss(params, hs, batch, k_neg)
+    pl, new_state = prob_loss(params, state, hf, batch, train, k_drop)
+    fl = func_loss(hf, batch)
+    kl = kl_loss(aux, batch) if cfg.variational else jnp.zeros((), hs.dtype)
+    total = weights[0] * rc + weights[1] * pl + weights[2] * fl + weights[3] * kl
+    metrics = dict(rc_metrics)
+    metrics.update(recon_loss=rc, prob_loss=pl, func_loss=fl, kl_loss=kl, loss=total)
+    return total, (new_state, metrics)
+
+
+def make_train_step(cfg: DGConfig, optimizer, mesh: Mesh | None = None, donate: bool = True):
+    """Returns (train_step, eval_step).
+
+    Single chip: train_step(params, state, opt_state, batch, rng, weights)
+      -> (params, state, opt_state, metrics)
+    With a mesh: same signature; batch leaves must carry a leading 'dp'
+      axis of size mesh.shape['dp'].
+    """
+
+    def _train(params, state, opt_state, batch, rng, weights):
+        grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
+        (_, (new_state, metrics)), grads = grad_fn(params, state, batch, rng, weights, cfg, True)
+        if mesh is not None:
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
+            new_state = jax.tree.map(lambda s: jax.lax.pmean(s, "dp"), new_state)
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "dp"), metrics)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, state | new_state, opt_state, metrics
+
+    def _eval(params, state, batch, rng, weights):
+        _, (_, metrics) = loss_and_metrics(params, state, batch, rng, weights, cfg, False)
+        if mesh is not None:
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "dp"), metrics)
+        return metrics
+
+    if mesh is None:
+        train_step = jax.jit(_train, donate_argnums=(0, 1, 2) if donate else ())
+        eval_step = jax.jit(_eval)
+        return train_step, eval_step
+
+    rep = P()
+    dp = P("dp")
+
+    def _train_sharded(params, state, opt_state, batch, rng, weights):
+        batch = jax.tree.map(lambda x: x[0], batch)  # drop local shard axis
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        return _train(params, state, opt_state, batch, rng, weights)
+
+    def _eval_sharded(params, state, batch, rng, weights):
+        batch = jax.tree.map(lambda x: x[0], batch)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        return _eval(params, state, batch, rng, weights)
+
+    train_step = jax.jit(
+        shard_map(
+            _train_sharded, mesh=mesh,
+            in_specs=(rep, rep, rep, dp, rep, rep),
+            out_specs=(rep, rep, rep, rep),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1, 2) if donate else (),
+    )
+    eval_step = jax.jit(
+        shard_map(
+            _eval_sharded, mesh=mesh,
+            in_specs=(rep, rep, dp, rep, rep),
+            out_specs=rep,
+            check_vma=False,
+        )
+    )
+    return train_step, eval_step

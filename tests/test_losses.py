@@ -1,0 +1,104 @@
+"""Loss parity vs the torch oracle, with identical negative samples."""
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from benchmarks.torch_reference import ReferenceModel, run_losses
+from mgvae_tpu.data.batching import collate
+from mgvae_tpu.data.synthetic import random_circuit
+from mgvae_tpu.models.dg_ae import DGConfig, forward
+from mgvae_tpu.train import losses
+from mgvae_tpu.utils.torch_compat import params_from_torch_state
+
+torch.manual_seed(1)
+
+
+def test_loss_parity_mig():
+    rng = np.random.default_rng(10)
+    g = random_circuit(rng, "mig", num_inputs=5, num_gates=48, num_tt_pairs=24)
+    ref = ReferenceModel("mig", dim_hidden=64, layernorm=True)
+    ref.eval()
+    cfg = DGConfig(modality="mig", dim_hidden=64, layernorm=True)
+    params, state = params_from_torch_state(ref.state_dict(), cfg)
+    batch = jax.tree.map(jnp.asarray, collate([g]))
+
+    hs_j, hf_j, _ = forward(params, batch, cfg)
+
+    # shared negative edges (valid for both)
+    n, e = g.num_nodes, g.num_edges
+    neg = rng.integers(0, n, size=(2, e))
+    neg[1] = (neg[0] + 1 + neg[1] % (n - 1)) % n
+
+    with torch.no_grad():
+        hs_t, hf_t = ref(
+            torch.from_numpy(g.gate).long(),
+            torch.from_numpy(g.edge_index),
+            torch.from_numpy(g.forward_level).long(),
+        )
+        rc_t, pl_t, fl_t, pred_bin, gt_bin = run_losses(
+            ref, hs_t, hf_t,
+            torch.from_numpy(g.edge_index), torch.from_numpy(neg),
+            torch.from_numpy(g.prob).unsqueeze(1),
+            torch.from_numpy(g.tt_pair_index), torch.from_numpy(g.tt_dis),
+        )
+
+    # ours (explicit negs padded to the batch's E with the same mask)
+    E_pad = batch["edge_src"].shape[0]
+    neg_src = jnp.asarray(np.pad(neg[0], (0, E_pad - e)).astype(np.int32))
+    neg_dst = jnp.asarray(np.pad(neg[1], (0, E_pad - e), constant_values=1).astype(np.int32))
+    rc_j, metrics = losses.recon_loss(params, hs_j, batch, None, neg_edges=(neg_src, neg_dst))
+    pl_j, _ = losses.prob_loss(params, state, hf_j, batch, train=False, rng=None)
+    fl_j = losses.func_loss(hf_j, batch)
+
+    np.testing.assert_allclose(float(rc_j), float(rc_t), rtol=2e-4)
+    np.testing.assert_allclose(float(pl_j), float(pl_t), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(fl_j), float(fl_t), rtol=2e-3, atol=1e-5)
+
+    # binary recon metric counts agree with oracle's prediction vectors
+    pb, gb = pred_bin.numpy(), gt_bin.numpy()
+    assert float(metrics["tp"]) == float(((pb == 1) & (gb == 1)).sum())
+    assert float(metrics["fp"]) == float(((pb == 1) & (gb == 0)).sum())
+    assert float(metrics["n_pred"]) == float(len(pb))
+
+
+def test_kl_loss_formula():
+    """KL matches trainer.py:146-148 computed directly in torch."""
+    rng = np.random.default_rng(11)
+    n, d = 20, 8
+    mu = rng.normal(size=(n, d)).astype(np.float32)
+    logstd = rng.normal(size=(n, d)).astype(np.float32) * 0.1
+    aux = {
+        "s_mu": jnp.asarray(mu), "s_logstd": jnp.asarray(logstd),
+        "t_mu": jnp.asarray(mu * 0.5), "t_logstd": jnp.asarray(logstd * 2),
+    }
+    batch = {
+        "n_nodes": jnp.int32(n),
+        "node_valid": jnp.ones(n, dtype=bool),
+    }
+    kl_j = losses.kl_loss(aux, batch)
+    tmu, tls = torch.from_numpy(mu), torch.from_numpy(logstd)
+    s_kl = -0.5 / n * (1 + 2 * tls - tmu**2 - torch.exp(tls) ** 2).sum(1).mean()
+    t_kl = -0.5 / n * (1 + 2 * (tls * 2) - (tmu * 0.5) ** 2 - torch.exp(tls * 2) ** 2).sum(1).mean()
+    np.testing.assert_allclose(float(kl_j), float(s_kl + t_kl), rtol=1e-5)
+
+
+def test_negative_sampling_no_self_loops_and_in_range():
+    src, dst = losses.sample_negative_edges(jax.random.PRNGKey(0), 4096, jnp.int32(37))
+    src, dst = np.asarray(src), np.asarray(dst)
+    assert (src != dst).all()
+    assert src.min() >= 0 and src.max() < 37 and dst.max() < 37
+
+
+def test_variational_forward_and_kl():
+    rng = np.random.default_rng(12)
+    g = random_circuit(rng, "mig", num_inputs=4, num_gates=24)
+    cfg = DGConfig(modality="mig", dim_hidden=32, variational=True)
+    from mgvae_tpu.models.dg_ae import init_params
+
+    params, state = init_params(jax.random.PRNGKey(0), cfg)
+    batch = jax.tree.map(jnp.asarray, collate([g]))
+    hs, hf, aux = forward(params, batch, cfg, rng=jax.random.PRNGKey(1))
+    assert set(aux) == {"s_mu", "s_logstd", "t_mu", "t_logstd"}
+    kl = losses.kl_loss(aux, batch)
+    assert np.isfinite(float(kl))
