@@ -17,3 +17,9 @@ import jax  # noqa: E402
 # The axon TPU plugin (sitecustomize) pins jax_platforms to the tunnelled
 # chip regardless of JAX_PLATFORMS; override through the config API.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: trainer-step compiles dominate test wall-clock.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
