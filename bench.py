@@ -1,0 +1,157 @@
+"""Headline benchmark: AIG+MIG encoding throughput (graphs/sec/chip) vs the
+CPU PyTorch reference, plus loss parity (BASELINE.md targets).
+
+Protocol:
+  * fixed synthetic datasets per modality (64 circuits, ~280 nodes each);
+  * baseline: the clean-room torch reference (benchmarks/torch_reference.py)
+    running the reference's own per-level python subgraph loop on CPU;
+  * ours: jitted forward (struct encoder + level scan) on the default JAX
+    backend (TPU when available), batched 16 circuits/step;
+  * parity: identical weights via the state_dict converter; recon/prob/func
+    losses must agree within 1% (printed to stderr).
+
+Prints ONE json line:
+  {"metric": "graphs_per_sec_encode_aig_mig", "value": ..., "unit":
+   "graphs/s", "vs_baseline": ...}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_CIRCUITS = 64
+BATCH = 16
+NUM_INPUTS = 16
+NUM_GATES = 264
+TIMED_PASSES = 20
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_dataset(modality, seed):
+    from mgvae_tpu.data.synthetic import random_circuit
+
+    rng = np.random.default_rng(seed)
+    return [
+        random_circuit(rng, modality, num_inputs=NUM_INPUTS, num_gates=NUM_GATES, num_tt_pairs=64)
+        for _ in range(N_CIRCUITS)
+    ]
+
+
+def bench_modality(modality, seed):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from benchmarks.torch_reference import ReferenceModel
+    from mgvae_tpu.data.batching import collate
+    from mgvae_tpu.models.dg_ae import DGConfig, forward
+    from mgvae_tpu.utils.torch_compat import params_from_torch_state
+
+    torch.manual_seed(seed)
+    graphs = make_dataset(modality, seed)
+    ref = ReferenceModel(modality, dim_hidden=64, s_rounds=4, t_rounds=4, layernorm=True)
+    ref.eval()
+    cfg = DGConfig(modality=modality, dim_hidden=64, layernorm=True)
+    params, state = params_from_torch_state(ref.state_dict(), cfg)
+
+    # ---- torch CPU baseline (reference semantics incl. subgraph loop) ----
+    tg = [
+        (
+            torch.from_numpy(g.gate).long(),
+            torch.from_numpy(g.edge_index),
+            torch.from_numpy(g.forward_level).long(),
+        )
+        for g in graphs
+    ]
+    with torch.no_grad():
+        ref(*tg[0])  # warmup
+        t0 = time.perf_counter()
+        for gate, ei, lvl in tg:
+            ref(gate, ei, lvl)
+        torch_time = time.perf_counter() - t0
+    torch_gps = len(graphs) / torch_time
+
+    # ---- ours ----
+    batches = [
+        jax.tree.map(jnp.asarray, collate(graphs[i : i + BATCH]))
+        for i in range(0, len(graphs), BATCH)
+    ]
+    fwd = jax.jit(lambda p, b: forward(p, b, cfg)[:2])
+
+    for b in batches:  # compile + warmup every shape
+        jax.block_until_ready(fwd(params, b))
+    t0 = time.perf_counter()
+    for _ in range(TIMED_PASSES):
+        outs = [fwd(params, b) for b in batches]
+    jax.block_until_ready(outs)
+    ours_time = (time.perf_counter() - t0) / TIMED_PASSES
+    ours_gps = len(graphs) / ours_time
+
+    # ---- loss parity on one graph ----
+    from mgvae_tpu.train import losses
+
+    g = graphs[0]
+    batch1 = jax.tree.map(jnp.asarray, collate([g]))
+    hs_j, hf_j, _ = forward(params, batch1, cfg)
+    n, e = g.num_nodes, g.num_edges
+    rng = np.random.default_rng(0)
+    neg = rng.integers(0, n, size=(2, e))
+    neg[1] = (neg[0] + 1 + neg[1] % (n - 1)) % n
+    with torch.no_grad():
+        hs_t, hf_t = ref(*tg[0])
+        from benchmarks.torch_reference import run_losses
+
+        rc_t, pl_t, fl_t, _, _ = run_losses(
+            ref, hs_t, hf_t, torch.from_numpy(g.edge_index), torch.from_numpy(neg),
+            torch.from_numpy(g.prob).unsqueeze(1), torch.from_numpy(g.tt_pair_index),
+            torch.from_numpy(g.tt_dis),
+        )
+    E_pad = batch1["edge_src"].shape[0]
+    neg_src = jnp.asarray(np.pad(neg[0], (0, E_pad - e)).astype(np.int32))
+    neg_dst = jnp.asarray(np.pad(neg[1], (0, E_pad - e), constant_values=1).astype(np.int32))
+    rc_j, _ = losses.recon_loss(params, hs_j, batch1, None, neg_edges=(neg_src, neg_dst))
+    pl_j, _ = losses.prob_loss(params, state, hf_j, batch1, train=False, rng=None)
+    fl_j = losses.func_loss(hf_j, batch1)
+    parity = {
+        "recon": abs(float(rc_j) - float(rc_t)) / max(abs(float(rc_t)), 1e-9),
+        "prob": abs(float(pl_j) - float(pl_t)) / max(abs(float(pl_t)), 1e-9),
+        "func": abs(float(fl_j) - float(fl_t)) / max(abs(float(fl_t)), 1e-9),
+    }
+    log(
+        f"[{modality}] ours {ours_gps:.1f} g/s | torch-cpu {torch_gps:.1f} g/s | "
+        f"speedup {ours_gps / torch_gps:.1f}x | loss rel-err "
+        f"recon {parity['recon']:.2e} prob {parity['prob']:.2e} func {parity['func']:.2e}"
+    )
+    assert max(parity.values()) < 0.01, f"loss parity violated: {parity}"
+    return ours_gps, torch_gps
+
+
+def main():
+    import jax
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    aig_ours, aig_torch = bench_modality("aig", seed=0)
+    mig_ours, mig_torch = bench_modality("mig", seed=1)
+    # combined throughput: harmonic-style total graphs over total time
+    ours = 2.0 / (1.0 / aig_ours + 1.0 / mig_ours)
+    base = 2.0 / (1.0 / aig_torch + 1.0 / mig_torch)
+    print(
+        json.dumps(
+            {
+                "metric": "graphs_per_sec_encode_aig_mig",
+                "value": round(ours, 2),
+                "unit": "graphs/s",
+                "vs_baseline": round(ours / base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
