@@ -134,6 +134,7 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
     lv_edge_src = np.full((L, EP), dump, dtype=np.int32)
     lv_edge_dst_slot = np.zeros((L, EP), dtype=np.int32)
     lv_edge_valid = np.zeros((L, EP), dtype=bool)
+    lv_edge_id = np.full((L, EP), E - 1, dtype=np.int32)  # index into edge arrays
     slot_of = np.zeros(N, dtype=np.int32)
     for i in range(lv_real):
         nodes = lv_node_lists[i]
@@ -146,12 +147,14 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
         lv_edge_src[i, :m] = edge[0][eidx]
         lv_edge_dst_slot[i, :m] = slot_of[edge[1][eidx]]
         lv_edge_valid[i, :m] = True
+        lv_edge_id[i, :m] = eidx
     out.update(
         lv_nodes=lv_nodes,
         lv_node_valid=lv_node_valid,
         lv_edge_src=lv_edge_src,
         lv_edge_dst_slot=lv_edge_dst_slot,
         lv_edge_valid=lv_edge_valid,
+        lv_edge_id=lv_edge_id,
     )
     return out
 

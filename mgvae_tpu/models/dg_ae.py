@@ -49,6 +49,13 @@ class DGConfig:
     variational: bool = False    # DG_VAE mode (adds mu/logstd heads)
     dim_mlp: int = 32
     compute_dtype: str = "float32"  # set "bfloat16" for TPU throughput mode
+    # Level-step segment aggregation strategy:
+    #   "onehot": materialize the per-level [Ep, Np] incidence matrix and do
+    #     softmax-normalize + aggregate as dense MXU matmuls (TPU scatters
+    #     serialize; matmuls don't). Best for the bucketed level sizes the
+    #     batcher emits (Np, Ep <= a few thousand).
+    #   "scatter": jax.ops.segment_* (better on CPU and for huge levels).
+    level_aggr: str = "onehot"
 
     @property
     def gate_types(self) -> tuple:
@@ -181,6 +188,10 @@ def forward(params, batch, cfg: DGConfig, rng=None):
     expert = cfg.expert_of_gate[gate]          # [N], -1 for non-expert gates
     ex = params["experts"]
 
+    if cfg.num_rounds == 1:
+        hf = _level_scan_fast(params, batch, cfg, hs, expert)
+        return hs, hf, aux
+
     def level_step(hf, lv):
         nodes = lv["nodes"]                     # [Np]
         upd_mask = lv["node_valid"] & (expert[nodes] >= 0)
@@ -195,12 +206,26 @@ def forward(params, batch, cfg: DGConfig, rng=None):
         evalid = lv["edge_valid"]
         e_edge = e_dst[dslot]
         state_src = jnp.concatenate([hs[src], hf[src]], axis=-1)
-        k = _select_expert(state_src @ ex["wk"], e_edge, T) + ex["bk"][e_edge]
-        v = _select_expert(state_src @ ex["wv"], e_edge, T) + ex["bv"][e_edge]
+        # one matmul for k and v together (halves per-level dispatches)
+        kv = state_src @ jnp.concatenate([ex["wk"], ex["wv"]], axis=1)
+        k = _select_expert(kv[:, : kv.shape[1] // 2], e_edge, T) + ex["bk"][e_edge]
+        v = _select_expert(kv[:, kv.shape[1] // 2 :], e_edge, T) + ex["bv"][e_edge]
         score = aq[dslot] + jnp.sum(k * ex["wa_k"][e_edge], axis=-1)
         np_ = nodes.shape[0]
-        attn = segment_softmax(score, dslot, np_, valid=evalid)
-        msg = segment_sum(v * attn[:, None], dslot, np_)   # [Np, D]
+        if cfg.level_aggr == "onehot":
+            # PyG-softmax semantics via dense incidence matmuls (tfmlp.py:43):
+            # scatter-free normalize + aggregate, rides the MXU.
+            slots = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+            inc = (dslot[:, None] == slots) & evalid[:, None]        # [Ep, Np]
+            inc_f = inc.astype(v.dtype)
+            smax = jnp.max(jnp.where(inc, score[:, None], -1e30), axis=0)
+            ex_s = jnp.exp(score - smax[dslot]) * evalid.astype(v.dtype)
+            denom = ex_s @ inc_f + 1e-16                             # [Np]
+            attn = ex_s / denom[dslot]
+            msg = inc_f.T @ (v * attn[:, None])                      # [Np, D]
+        else:
+            attn = segment_softmax(score, dslot, np_, valid=evalid)
+            msg = segment_sum(v * attn[:, None], dslot, np_)   # [Np, D]
 
         gi = _select_expert(msg @ ex["w_ih"], e_dst, T) + ex["b_ih"][e_dst]
         gh = _select_expert(hf_dst @ ex["w_hh"], e_dst, T) + ex["b_hh"][e_dst]
@@ -223,6 +248,101 @@ def forward(params, batch, cfg: DGConfig, rng=None):
     for _ in range(cfg.num_rounds):
         hf, _ = jax.lax.scan(level_step, hf, lv)
     return hs, hf, aux
+
+
+def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
+    """Level scan specialized for num_rounds == 1 (the only configuration the
+    reference ever runs, SURVEY.md §8 quirk 17).
+
+    Key observation: with one round, a node's hf is zero until its own level
+    processes it, so every hs-dependent attention term is static w.r.t. the
+    scan. We therefore precompute, ONCE, with full-batch MXU matmuls:
+      * per-edge k/v contributions of hs (expert-selected, bias included)
+      * the complete attention query score per destination
+      * the GRU hidden-side gate preactivations (just b_hh — h is 0)
+    leaving per level only: one hf gather, one packed static gather, one
+    [Ep,D]x[D,2TD] matmul, the masked softmax + incidence aggregation, and
+    the GRU input matmul. ~2x fewer serialized HLOs per level than the
+    general path.
+    """
+    dtype = hs.dtype
+    D, T = cfg.dim_hidden, cfg.num_experts
+    ex = params["experts"]
+    gate = batch["gate"]
+    edge_src, edge_dst = batch["edge_src"], batch["edge_dst"]
+
+    e_dst_full = jnp.maximum(expert[edge_dst], 0)          # [E]
+    # --- per-node query score: q depends on [hs, 0] only -----------------
+    e_node = jnp.maximum(expert, 0)
+    q_all = hs @ ex["wq"][:D, :]                            # [N, T*D]
+    q = _select_expert(q_all, e_node, T) + ex["bq"][e_node]
+    aq_n = jnp.sum(q * ex["wa_q"][e_node], axis=-1) + ex["ba"][e_node]  # [N]
+    # --- per-edge hs-side key/value --------------------------------------
+    wkv_hs = jnp.concatenate([ex["wk"][:D, :], ex["wv"][:D, :]], axis=1)  # [D, 2TD]
+    kv_hs = hs[edge_src] @ wkv_hs                           # [E, 2TD]
+    khs = _select_expert(kv_hs[:, : T * D], e_dst_full, T) + ex["bk"][e_dst_full]
+    vhs = _select_expert(kv_hs[:, T * D :], e_dst_full, T) + ex["bv"][e_dst_full]
+    score_static = (
+        jnp.sum(khs * ex["wa_k"][e_dst_full], axis=-1) + aq_n[edge_dst]
+    )                                                       # [E]
+    # packed per-edge statics: [vhs | score | expert] -> ONE gather per level
+    pack = jnp.concatenate(
+        [vhs, score_static[:, None], e_dst_full[:, None].astype(dtype)], axis=1
+    )                                                       # [E, D+2]
+    wkv_hf = jnp.concatenate([ex["wk"][D:, :], ex["wv"][D:, :]], axis=1)  # [D, 2TD]
+
+    def level_step(hf, lv):
+        src = lv["edge_src"]                                # [Ep]
+        dslot = lv["edge_dst_slot"]
+        evalid = lv["edge_valid"]
+        nodes = lv["nodes"]                                 # [Np]
+        np_ = nodes.shape[0]
+
+        pk = pack[lv["edge_id"]]                            # [Ep, D+2]
+        e_edge = pk[:, -1].astype(jnp.int32)
+        hf_src = hf[src]                                    # [Ep, D]
+        kv_hf = hf_src @ wkv_hf                             # [Ep, 2TD]
+        khf = _select_expert(kv_hf[:, : T * D], e_edge, T)
+        vhf = _select_expert(kv_hf[:, T * D :], e_edge, T)
+        score = pk[:, D] + jnp.sum(khf * ex["wa_k"][e_edge], axis=-1)
+        v = pk[:, :D] + vhf
+
+        if cfg.level_aggr == "onehot":
+            slots = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+            inc = (dslot[:, None] == slots) & evalid[:, None]
+            inc_f = inc.astype(dtype)
+            smax = jnp.max(jnp.where(inc, score[:, None], -1e30), axis=0)
+            ex_s = jnp.exp(score - smax[dslot]) * evalid.astype(dtype)
+            denom = ex_s @ inc_f + 1e-16
+            attn = ex_s / denom[dslot]
+            msg = inc_f.T @ (v * attn[:, None])             # [Np, D]
+        else:
+            attn = segment_softmax(score, dslot, np_, valid=evalid)
+            msg = segment_sum(v * attn[:, None], dslot, np_)
+
+        e_n = jnp.maximum(expert[nodes], 0)
+        gi = _select_expert(msg @ ex["w_ih"], e_n, T) + ex["b_ih"][e_n]
+        gh = ex["b_hh"][e_n]                                # h == 0 pre-update
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        nw = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * nw
+        upd = lv["node_valid"] & (expert[nodes] >= 0)
+        return hf.at[nodes].set(jnp.where(upd[:, None], h_new, 0.0)), None
+
+    lv = {
+        "nodes": batch["lv_nodes"],
+        "node_valid": batch["lv_node_valid"],
+        "edge_src": batch["lv_edge_src"],
+        "edge_dst_slot": batch["lv_edge_dst_slot"],
+        "edge_valid": batch["lv_edge_valid"],
+        "edge_id": batch["lv_edge_id"],
+    }
+    hf = jnp.zeros_like(hs)
+    hf, _ = jax.lax.scan(level_step, hf, lv)
+    return hf
 
 
 def hs_decompose(params, hs):
