@@ -311,8 +311,13 @@ def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
             slots = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
             inc = (dslot[:, None] == slots) & evalid[:, None]
             inc_f = inc.astype(dtype)
-            smax = jnp.max(jnp.where(inc, score[:, None], -1e30), axis=0)
-            ex_s = jnp.exp(score - smax[dslot]) * evalid.astype(dtype)
+            # mask BEFORE max/exp: raw padding scores must never reach exp,
+            # or NaNs leak into the backward pass even when the primal is
+            # masked (where() does not block NaN cotangents).
+            score_m = jnp.where(evalid, score, -1e30)
+            smax = jnp.maximum(jnp.max(jnp.where(inc, score[:, None], -1e30), axis=0), -1e30)
+            shifted = jnp.clip(score_m - smax[dslot], -80.0, 0.0)
+            ex_s = jnp.exp(shifted) * evalid.astype(dtype)
             denom = ex_s @ inc_f + 1e-16
             attn = ex_s / denom[dslot]
             msg = inc_f.T @ (v * attn[:, None])             # [Np, D]

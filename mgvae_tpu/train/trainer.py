@@ -154,6 +154,11 @@ class Trainer:
             for phase in ("train", "val"):
                 ds = train_dataset if phase == "train" else val_dataset
                 meters = {k: AverageMeter() for k in ("recon", "prob", "func", "kl", "acc", "tp", "fp", "tn", "fn", "time")}
+                # Metrics stay on-device per iteration and are fetched once
+                # per epoch: a host sync costs ~26 ms on a tunneled chip,
+                # which would dominate the step time (the reference syncs
+                # full prediction vectors every iteration, trainer.py:236-244).
+                pending = []
                 t0 = time.time()
                 for it, batch in enumerate(self._iter_batches(ds, shuffle=True)):
                     batch = jax.tree.map(jnp.asarray, batch)
@@ -164,7 +169,15 @@ class Trainer:
                         )
                     else:
                         m = self.eval_step(self.params, self.state, batch, rng, weights)
-                    m = jax.tree.map(float, m)
+                    pending.append(m)
+                    if self.is_chief and self.log_every and (it + 1) % self.log_every == 0:
+                        mm = jax.tree.map(float, m)
+                        print(
+                            f"[{phase} {self.model_epoch}] {epoch}/{num_epoch} it {it + 1} "
+                            f"|Recon: {mm['recon_loss']:.4f} |Prob: {mm['prob_loss']:.4f} "
+                            f"|Func: {mm['func_loss']:.4f}"
+                        )
+                for m in jax.tree.map(float, pending):
                     n_pred = max(m["n_pred"], 1.0)
                     meters["recon"].update(m["recon_loss"])
                     meters["prob"].update(m["prob_loss"])
@@ -175,15 +188,7 @@ class Trainer:
                     meters["fp"].update(m["fp"] / n_pred)
                     meters["tn"].update(m["tn"] / n_pred)
                     meters["fn"].update(m["fn"] / n_pred)
-                    meters["time"].update(time.time() - t0)
-                    t0 = time.time()
-                    if self.is_chief and self.log_every and (it + 1) % self.log_every == 0:
-                        print(
-                            f"[{phase} {self.model_epoch}] {epoch}/{num_epoch} it {it + 1} "
-                            f"|Recon: {meters['recon'].avg:.4f} |ACC: {meters['acc'].avg * 100:.2f} "
-                            f"|Prob: {meters['prob'].avg:.4f} |Func: {meters['func'].avg:.4f} "
-                            f"|Net: {meters['time'].avg:.2f}s"
-                        )
+                meters["time"].update((time.time() - t0) / max(len(pending), 1), n=max(len(pending), 1))
                 if phase == "train" and self.model_epoch % 10 == 0:
                     self.save(os.path.join(self.log_dir, f"model_{self.model_epoch}.pth"))
                     self.save(os.path.join(self.log_dir, "model_last.pth"))
