@@ -80,6 +80,17 @@ def aig_to_xdata(path: str, gate_to_index=GATE_TO_INDEX_AIG):
     with open(path, "rb") as f:
         data = f.read()
     if data[:3] == b"aig":
+        if gate_to_index == GATE_TO_INDEX_AIG:
+            try:  # C++ fast path, bit-identical construction
+                from ..native import aig_decode_native
+
+                res = aig_decode_native(data)
+                if res is not None:
+                    gates, edges = res
+                    x_data = [[k, int(g)] for k, g in enumerate(gates)]
+                    return x_data, edges.T.tolist()
+            except ImportError:
+                pass
         i, l, o, a, outputs, ands = _decode_binary(data)
     else:
         i, l, o, a, outputs, ands = _decode_ascii(data.decode())

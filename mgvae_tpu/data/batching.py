@@ -25,6 +25,13 @@ import numpy as np
 from .graph import CircuitGraph
 
 
+BLOCK_D = 128  # dst-block width for blocked-CSR aggregation (one MXU tile)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def bucket(x: int, minimum: int = 8) -> int:
     """Smallest m * 2^e >= x with m in {4,5,6,7} (<= 25% padding waste)."""
     if x <= minimum:
@@ -99,7 +106,9 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
 
     # ---- padded dims ---------------------------------------------------
     dims = dims or {}
-    N = dims.get("N", bucket(n + 1))   # >=1 padding node: slot ``n`` is scatter dump
+    # N is a multiple of the dst-block size so whole-graph aggregation can
+    # run as blocked dense matmuls (see agg_* tables below).
+    N = dims.get("N", _round_up(bucket(n + 1), BLOCK_D))
     E = dims.get("E", bucket(e))
     P = dims.get("P", bucket(p))
     L = dims.get("L", bucket(max(lv_real, 1)))
@@ -156,7 +165,60 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
         lv_edge_valid=lv_edge_valid,
         lv_edge_id=lv_edge_id,
     )
+
+    # ---- blocked-CSR whole-graph aggregation tables ----------------------
+    # The struct encoder sums messages over all in-edges (and, reversed,
+    # all out-edges) every round. TPU scatter-add serializes; instead we
+    # block destination nodes into BLOCK_D-wide tiles and pad each tile's
+    # edge list, so the sum becomes a batched one-hot matmul on the MXU
+    # (see models/encoder.py). EBF/EBR = max per-block edge count, bucketed.
+    nb = N // BLOCK_D
+    fa_src, fa_slot, fa_valid, ebf = _blocked_tables(
+        by=edge[1] if e else np.zeros(0, np.int64),
+        other=edge[0] if e else np.zeros(0, np.int64),
+        nb=nb, dims_key=dims.get("EBF"), dump=dump,
+    )
+    ra_src, ra_slot, ra_valid, ebr = _blocked_tables(
+        by=edge[0] if e else np.zeros(0, np.int64),
+        other=edge[1] if e else np.zeros(0, np.int64),
+        nb=nb, dims_key=dims.get("EBR"), dump=dump,
+    )
+    deg_in = np.zeros(N, np.float32)
+    deg_out = np.zeros(N, np.float32)
+    if e:
+        deg_in[: n] = np.bincount(edge[1], minlength=n)[:n]
+        deg_out[: n] = np.bincount(edge[0], minlength=n)[:n]
+    out.update(
+        fa_src=fa_src, fa_slot=fa_slot, fa_valid=fa_valid,
+        ra_src=ra_src, ra_slot=ra_slot, ra_valid=ra_valid,
+        deg_in=deg_in, deg_out=deg_out,
+    )
     return out
+
+
+def _blocked_tables(by, other, nb, dims_key, dump):
+    """Group edges by ``by``-node block of width BLOCK_D; returns padded
+    [nb, Eb] tables: message-source node, local slot (by - block_start),
+    valid mask."""
+    order = np.argsort(by, kind="stable")
+    by_s, other_s = by[order], other[order]
+    blk = (by_s // BLOCK_D).astype(np.int64)
+    counts = np.bincount(blk, minlength=nb) if len(blk) else np.zeros(nb, np.int64)
+    eb_real = int(counts.max()) if len(counts) else 0
+    eb = dims_key if dims_key is not None else bucket(max(eb_real, 1))
+    assert eb >= eb_real, "EBF/EBR override too small"
+    src = np.full((nb, eb), dump, dtype=np.int32)
+    slot = np.zeros((nb, eb), dtype=np.int32)
+    valid = np.zeros((nb, eb), dtype=bool)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for b in range(nb):
+        s, c = int(starts[b]), int(counts[b])
+        if c == 0:
+            continue
+        src[b, :c] = other_s[s : s + c]
+        slot[b, :c] = by_s[s : s + c] - b * BLOCK_D
+        valid[b, :c] = True
+    return src, slot, valid, eb
 
 
 def _pad(a: np.ndarray, size: int, fill=0) -> np.ndarray:
@@ -181,6 +243,8 @@ def natural_dims(graphs: list[CircuitGraph]) -> dict:
         "L": b["lv_nodes"].shape[0],
         "NP": b["lv_nodes"].shape[1],
         "EP": b["lv_edge_src"].shape[1],
+        "EBF": b["fa_src"].shape[1],
+        "EBR": b["ra_src"].shape[1],
     }
 
 

@@ -30,6 +30,14 @@ def levelize(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
     level = np.zeros(num_nodes, dtype=np.int32)
     if edge_index.size == 0:
         return level
+    try:  # C++ fast path (mgvae_tpu/native); identical semantics
+        from ..native import levelize_native
+
+        out = levelize_native(np.asarray(edge_index), num_nodes)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     src = np.asarray(edge_index[0], dtype=np.int64)
     dst = np.asarray(edge_index[1], dtype=np.int64)
     indeg = np.bincount(dst, minlength=num_nodes).astype(np.int64)

@@ -168,8 +168,7 @@ def forward(params, batch, cfg: DGConfig, rng=None):
     gate = batch["gate"]
     x_feat = struct_input(gate, cfg, dtype)
     s, t = direct_multigcn_apply(
-        params["struct"], x_feat, batch["edge_src"], batch["edge_dst"],
-        batch["edge_valid"], cfg.s_rounds, cfg.t_rounds, cfg.layernorm,
+        params["struct"], x_feat, batch, cfg.s_rounds, cfg.t_rounds, cfg.layernorm,
     )
     aux = {}
     if cfg.variational:

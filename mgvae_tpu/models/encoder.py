@@ -9,8 +9,14 @@ reversed edges. Note the reference applies the SAME LayerNorm instance after
 the forward and reverse halves (digae_layer.py:254,269-275) — replicated
 here with a single shared "ln" parameter.
 
-TPU formulation: dense [N, D] matmuls + one XLA segment_sum per direction —
-no message-passing object model, no torch_scatter.
+TPU formulation, two layers of algebra over the reference:
+  1. AggConv's sum_j (W x_j + b) == W (sum_j x_j) + deg * b — so the linear
+     runs once per NODE, not per edge, and the aggregation is a raw sum.
+  2. That sum runs as *blocked-CSR batched one-hot matmuls* on the MXU
+     (data/batching.py agg tables): TPU scatter-adds serialize (~74 us per
+     round on a 10k-edge batch, measured); a [nb, Eb, 128] one-hot einsum
+     is ~5x faster and fully pipelined. Falls back to XLA segment_sum when
+     the tables are absent (e.g. hand-built batches).
 """
 from __future__ import annotations
 
@@ -22,7 +28,6 @@ from ..ops.init import (
     gru_cell_init,
     layernorm_apply,
     layernorm_init,
-    linear_apply,
     linear_init,
 )
 from ..ops.segment import segment_sum
@@ -41,12 +46,35 @@ def multigcn_init(key, dim_hidden: int, dim_feature: int, layernorm: bool, dtype
     return p
 
 
+def blocked_neighbor_sum(state, src_tbl, slot_tbl, valid_tbl, block_d: int = 128):
+    """sum of state rows over in/out-neighbors, via blocked dense matmuls.
+
+    src_tbl/slot_tbl/valid_tbl: [nb, Eb] (see batching._blocked_tables).
+    Returns [nb*block_d, D].
+    """
+    msgs = state[src_tbl]                                    # [nb, Eb, D]
+    slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_d), 2)
+    onehot = ((slot_tbl[..., None] == slots) & valid_tbl[..., None]).astype(state.dtype)
+    agg = jnp.einsum("bes,bed->bsd", onehot, msgs)           # [nb, Bd, D]
+    return agg.reshape(-1, state.shape[-1])
+
+
+def _neighbor_sum(state, batch, reverse: bool):
+    n = state.shape[0]
+    if not reverse and "fa_src" in batch:
+        return blocked_neighbor_sum(state, batch["fa_src"], batch["fa_slot"], batch["fa_valid"])
+    if reverse and "ra_src" in batch:
+        return blocked_neighbor_sum(state, batch["ra_src"], batch["ra_slot"], batch["ra_valid"])
+    src = batch["edge_dst"] if reverse else batch["edge_src"]
+    dst = batch["edge_src"] if reverse else batch["edge_dst"]
+    ev = batch["edge_valid"][:, None].astype(state.dtype)
+    return segment_sum(state[src] * ev, dst, n)
+
+
 def multigcn_apply(
     params,
-    x_feat: jnp.ndarray,       # [N, F] input features
-    edge_src: jnp.ndarray,     # [E] int32
-    edge_dst: jnp.ndarray,     # [E] int32
-    edge_valid: jnp.ndarray,   # [E] bool
+    x_feat: jnp.ndarray,   # [N, F] input features
+    batch: dict,           # needs edge_src/edge_dst/edge_valid (+ agg tables)
     num_rounds: int,
     layernorm: bool,
 ) -> jnp.ndarray:
@@ -54,20 +82,26 @@ def multigcn_apply(
     n = x_feat.shape[0]
     dim = params["aggr"]["w"].shape[1]
     state = jnp.ones((n, dim), x_feat.dtype)
-    ev = edge_valid[:, None].astype(x_feat.dtype)
+    deg_in = batch.get("deg_in")
+    deg_out = batch.get("deg_out")
+    if deg_in is None:
+        ev = batch["edge_valid"].astype(x_feat.dtype)
+        deg_in = segment_sum(ev, batch["edge_dst"], n)
+        deg_out = segment_sum(ev, batch["edge_src"], n)
 
-    def half_round(state, aggr_p, gru_p, src, dst):
-        msg_e = linear_apply(aggr_p, state[src]) * ev
-        msg = segment_sum(msg_e, dst, n)
+    def half_round(state, aggr_p, gru_p, reverse, deg):
+        nbr = _neighbor_sum(state, batch, reverse)
+        # AggConv: sum_j (W x_j + b) = W (sum x_j) + deg * b
+        msg = nbr @ aggr_p["w"] + deg[:, None] * aggr_p["b"]
         state = gru_cell_apply(gru_p, jnp.concatenate([msg, x_feat], axis=-1), state)
         if layernorm:
             state = layernorm_apply(params["ln"], state)
         return state
 
     for _ in range(num_rounds):
-        state = half_round(state, params["aggr"], params["update"], edge_src, edge_dst)
+        state = half_round(state, params["aggr"], params["update"], False, deg_in)
         # reverse direction (enable_reverse is hardwired True, digae_layer.py:239)
-        state = half_round(state, params["aggr_r"], params["update_r"], edge_dst, edge_src)
+        state = half_round(state, params["aggr_r"], params["update_r"], True, deg_out)
     return state
 
 
@@ -80,7 +114,7 @@ def direct_multigcn_init(key, dim_hidden: int, dim_feature: int, layernorm: bool
     }
 
 
-def direct_multigcn_apply(params, x_feat, edge_src, edge_dst, edge_valid, s_rounds, t_rounds, layernorm):
-    s = multigcn_apply(params["source"], x_feat, edge_src, edge_dst, edge_valid, s_rounds, layernorm)
-    t = multigcn_apply(params["target"], x_feat, edge_src, edge_dst, edge_valid, t_rounds, layernorm)
+def direct_multigcn_apply(params, x_feat, batch, s_rounds, t_rounds, layernorm):
+    s = multigcn_apply(params["source"], x_feat, batch, s_rounds, layernorm)
+    t = multigcn_apply(params["target"], x_feat, batch, t_rounds, layernorm)
     return s, t
