@@ -156,12 +156,16 @@ def struct_input(gate: jnp.ndarray, cfg: DGConfig, dtype=jnp.float32) -> jnp.nda
     return jax.nn.one_hot(ids, cfg.dim_feature, dtype=dtype)
 
 
-def forward(params, batch, cfg: DGConfig, rng=None):
+def forward(params, batch, cfg: DGConfig, rng=None, use_pallas: bool = False,
+            pallas_interpret: bool = False):
     """Model.forward: returns (hs, hf, aux).
 
     aux carries the VAE posterior stats when cfg.variational (the fixed
     DG_VAE path — the reference's is broken, SURVEY.md §8 quirk 12) and is
     empty otherwise.
+
+    use_pallas: run the level recurrence as the fused Pallas TPU kernel
+    (forward/inference only — no VJP yet; training uses the XLA scan).
     """
     dtype = jnp.dtype(cfg.compute_dtype)
     D, T = cfg.dim_hidden, cfg.num_experts
@@ -188,7 +192,10 @@ def forward(params, batch, cfg: DGConfig, rng=None):
     ex = params["experts"]
 
     if cfg.num_rounds == 1:
-        hf = _level_scan_fast(params, batch, cfg, hs, expert)
+        if use_pallas:
+            hf = _level_scan_pallas(params, batch, cfg, hs, expert, pallas_interpret)
+        else:
+            hf = _level_scan_fast(params, batch, cfg, hs, expert)
         return hs, hf, aux
 
     def level_step(hf, lv):
@@ -249,25 +256,12 @@ def forward(params, batch, cfg: DGConfig, rng=None):
     return hs, hf, aux
 
 
-def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
-    """Level scan specialized for num_rounds == 1 (the only configuration the
-    reference ever runs, SURVEY.md §8 quirk 17).
-
-    Key observation: with one round, a node's hf is zero until its own level
-    processes it, so every hs-dependent attention term is static w.r.t. the
-    scan. We therefore precompute, ONCE, with full-batch MXU matmuls:
-      * per-edge k/v contributions of hs (expert-selected, bias included)
-      * the complete attention query score per destination
-      * the GRU hidden-side gate preactivations (just b_hh — h is 0)
-    leaving per level only: one hf gather, one packed static gather, one
-    [Ep,D]x[D,2TD] matmul, the masked softmax + incidence aggregation, and
-    the GRU input matmul. ~2x fewer serialized HLOs per level than the
-    general path.
-    """
+def _level_statics(params, batch, cfg: DGConfig, hs, expert):
+    """Precompute everything the level recurrence needs that does not depend
+    on hf — see _level_scan_fast for why this exists."""
     dtype = hs.dtype
     D, T = cfg.dim_hidden, cfg.num_experts
     ex = params["experts"]
-    gate = batch["gate"]
     edge_src, edge_dst = batch["edge_src"], batch["edge_dst"]
 
     e_dst_full = jnp.maximum(expert[edge_dst], 0)          # [E]
@@ -289,6 +283,28 @@ def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
         [vhs, score_static[:, None], e_dst_full[:, None].astype(dtype)], axis=1
     )                                                       # [E, D+2]
     wkv_hf = jnp.concatenate([ex["wk"][D:, :], ex["wv"][D:, :]], axis=1)  # [D, 2TD]
+    return pack, wkv_hf
+
+
+def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
+    """Level scan specialized for num_rounds == 1 (the only configuration the
+    reference ever runs, SURVEY.md §8 quirk 17).
+
+    Key observation: with one round, a node's hf is zero until its own level
+    processes it, so every hs-dependent attention term is static w.r.t. the
+    scan. We therefore precompute, ONCE, with full-batch MXU matmuls:
+      * per-edge k/v contributions of hs (expert-selected, bias included)
+      * the complete attention query score per destination
+      * the GRU hidden-side gate preactivations (just b_hh — h is 0)
+    leaving per level only: one hf gather, one packed static gather, one
+    [Ep,D]x[D,2TD] matmul, the masked softmax + incidence aggregation, and
+    the GRU input matmul. ~2x fewer serialized HLOs per level than the
+    general path.
+    """
+    dtype = hs.dtype
+    D, T = cfg.dim_hidden, cfg.num_experts
+    ex = params["experts"]
+    pack, wkv_hf = _level_statics(params, batch, cfg, hs, expert)
 
     def level_step(hf, lv):
         src = lv["edge_src"]                                # [Ep]
@@ -347,6 +363,40 @@ def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
     hf = jnp.zeros_like(hs)
     hf, _ = jax.lax.scan(level_step, hf, lv)
     return hf
+
+
+def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False):
+    """Fused-kernel level recurrence (ops/pallas/level_kernel.py)."""
+    from ..ops.pallas.level_kernel import LANE, _round_up, fused_level_scan
+
+    D, T = cfg.dim_hidden, cfg.num_experts
+    ex = params["experts"]
+    pack, wkv_hf = _level_statics(params, batch, cfg, hs, expert)
+    # pad the per-edge static pack to a lane-aligned width
+    pw = _round_up(D + 2, LANE)
+    pack = jnp.pad(pack, ((0, 0), (0, pw - pack.shape[1])))
+    pack_lv = pack[batch["lv_edge_id"]]                     # [L, Ep, PW]
+    lv_nodes = batch["lv_nodes"]
+    lv_upd = (batch["lv_node_valid"] & (expert[lv_nodes] >= 0)).astype(jnp.int32)
+    lv_e_n = jnp.maximum(expert[lv_nodes], 0)
+    return fused_level_scan(
+        pack_lv,
+        batch["lv_edge_src"],
+        batch["lv_edge_dst_slot"],
+        batch["lv_edge_valid"].astype(jnp.int32),
+        lv_nodes,
+        lv_upd,
+        lv_e_n,
+        wkv_hf,
+        ex["w_ih"],
+        ex["b_ih"],
+        ex["b_hh"],
+        ex["wa_k"],
+        num_nodes=hs.shape[0],
+        dim=D,
+        num_experts=T,
+        interpret=interpret,
+    )
 
 
 def hs_decompose(params, hs):

@@ -48,6 +48,7 @@ class Trainer:
         seed: int = 0,
         num_devices: int | None = None,
         log_every: int = 0,
+        trace_dir: str | None = None,
     ):
         self.args = args
         self.model_cfg = model_cfg
@@ -57,6 +58,11 @@ class Trainer:
         self.kl_weight = kl_weight
         self.batch_size = batch_size
         self.log_every = log_every
+        # Tracing/profiling subsystem (the reference has only wall-clock
+        # meters, SURVEY.md §5.1): when set, epoch 0 of every train() call is
+        # captured with jax.profiler into trace_dir (view with tensorboard
+        # or xprof).
+        self.trace_dir = trace_dir
 
         self.log_dir = os.path.join(save_dir, training_id)
         os.makedirs(self.log_dir, exist_ok=True)
@@ -150,6 +156,10 @@ class Trainer:
     def train(self, num_epoch: int, train_dataset, val_dataset):
         weights = self.weights
         print(f"[INFO] Start training, lr = {self.lr:.6f}")
+        tracing = False
+        if self.trace_dir and self.is_chief:
+            jax.profiler.start_trace(self.trace_dir)
+            tracing = True
         for epoch in range(num_epoch):
             for phase in ("train", "val"):
                 ds = train_dataset if phase == "train" else val_dataset
@@ -199,10 +209,15 @@ class Trainer:
                             meters["prob"].avg, meters["func"].avg, meters["time"].avg,
                         )
                     )
+            if tracing:  # capture only the first epoch of this stage
+                jax.profiler.stop_trace()
+                tracing = False
             self.model_epoch += 1
             if self.lr_step > 0 and self.model_epoch % self.lr_step == 0:
                 self.lr *= 0.1
                 if self.is_chief:
                     print(f"[INFO] Learning rate decay to {self.lr}")
                 self.opt_state = set_lr(self.opt_state, self.lr)
+        if tracing:
+            jax.profiler.stop_trace()
         return {k: v.avg for k, v in meters.items()} if num_epoch else {}
