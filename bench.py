@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 N_CIRCUITS = 64
-BATCH = 64
+BATCH = 16  # pallas-kernel class; the fused level kernel beats XLA-at-64
 NUM_INPUTS = 16
 NUM_GATES = 264
 CHAIN_K = 32
@@ -97,6 +97,21 @@ def bench_modality(modality, seed, roundtrip):
 
     # ---- ours: K chained forwards in one jitted call ---------------------
     batch = jax.tree.map(jnp.asarray, collate(graphs[:BATCH]))
+    use_pallas = False
+    if jax.default_backend() == "tpu":
+        from mgvae_tpu.ops.pallas.level_kernel import kernel_fits
+
+        use_pallas = kernel_fits(
+            batch["gate"].shape[0], batch["lv_edge_src"].shape[1],
+            batch["lv_nodes"].shape[1], cfg.dim_hidden,
+        )
+        if use_pallas:  # cross-check fused kernel vs XLA scan on-device
+            _, hf_x, _ = jax.jit(lambda p, b: forward(p, b, cfg))(params, batch)
+            _, hf_p, _ = jax.jit(lambda p, b: forward(p, b, cfg, use_pallas=True))(params, batch)
+            n = int(batch["n_nodes"])
+            dmax = float(jnp.abs(hf_x[:n] - hf_p[:n]).max())
+            log(f"[{modality}] pallas-vs-xla max |hf| diff: {dmax:.2e}")
+            assert dmax < 1e-3
 
     def chained(params, batch):
         def body(i, c):
@@ -107,7 +122,7 @@ def bench_modality(modality, seed, roundtrip):
                     "b": params["hs_linear"]["b"] + c * 1e-30,
                 },
             }
-            hs, hf, _ = forward(p2, batch, cfg)
+            hs, hf, _ = forward(p2, batch, cfg, use_pallas=use_pallas)
             return hf[0, 0]
 
         return jax.lax.fori_loop(0, CHAIN_K, body, 0.0)

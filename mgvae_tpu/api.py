@@ -58,7 +58,19 @@ class Model:
             params, state = init_params(jax.random.PRNGKey(seed), self.cfg)
         self.params, self.state = params, state
         cfg = self.cfg
-        self._fwd = jax.jit(lambda p, b, r: dg_ae.forward(p, b, cfg, rng=r))
+
+        def _fwd_fn(p, b, r):
+            use_pallas = False
+            if jax.default_backend() == "tpu" and cfg.num_rounds == 1:
+                from .ops.pallas.level_kernel import kernel_fits
+
+                use_pallas = kernel_fits(
+                    b["gate"].shape[0], b["lv_edge_src"].shape[1],
+                    b["lv_nodes"].shape[1], cfg.dim_hidden,
+                )
+            return dg_ae.forward(p, b, cfg, rng=r, use_pallas=use_pallas)
+
+        self._fwd = jax.jit(_fwd_fn)
         self._rng = jax.random.PRNGKey(seed + 17)
 
     # ------------------------------------------------------------------

@@ -35,11 +35,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N_CHUNK = 2048
 LANE = 128
+_CHUNK_BYTES = 2 * 1024 * 1024  # VMEM budget for one one-hot gather block
+
+
+def _pick_chunk(ep: int, n: int) -> int:
+    """N-axis chunk for the one-hot gather/scatter matmuls: bound the
+    [Ep, chunk] f32 block to ~2MB of VMEM, floor 512, lane-aligned."""
+    c = max(512, min(2048, _CHUNK_BYTES // max(ep * 4, 1)))
+    c = (c // LANE) * LANE
+    return min(c, _round_up(n, LANE))
 
 # contract dim 0 of lhs with dim 0 of rhs: A^T @ B without a transpose op
 _DN_T = (((0,), (0,)), ((), ()))
+
+
+def kernel_fits(num_nodes: int, ep: int, np_: int, dim: int) -> bool:
+    """Conservative VMEM gate: hf + one-hot blocks + incidence must fit.
+    Empirically bs16-class batches (N<=8k, Ep<=512) compile and win ~2x;
+    larger batches exceed VMEM and take the XLA scan path."""
+    return num_nodes <= 8192 and ep <= 512 and np_ <= 512 and dim <= 128
 
 
 def _round_up(x, m):
@@ -75,7 +90,8 @@ def fused_level_scan(
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
     lv_nodes, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
 
-    kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np)
+    n_chunk = _pick_chunk(Ep, N)
+    kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk)
     row_spec = lambda blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -111,7 +127,7 @@ def _level_kernel(
     pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     hf_ref,
-    *, N, D, T, Ep, Np,
+    *, N, D, T, Ep, Np, n_chunk,
 ):
     i = pl.program_id(0)
 
@@ -131,8 +147,8 @@ def _level_kernel(
 
     # ---- gather hf[src] via chunked one-hot matmuls ----------------------
     hf_src = jnp.zeros((Ep, D), f32)
-    for c in range(0, N, N_CHUNK):
-        ch = min(N_CHUNK, N - c)
+    for c in range(0, N, n_chunk):
+        ch = min(n_chunk, N - c)
         cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
         onehot = (src == cols).astype(f32)    # [Ep, ch]
         hf_src = hf_src + jnp.dot(
@@ -187,8 +203,8 @@ def _level_kernel(
 
     # ---- scatter-add back into hf (rows are fresh: previously zero) -------
     nodes = nodes_ref[0]                      # [Np, 1]
-    for c in range(0, N, N_CHUNK):
-        ch = min(N_CHUNK, N - c)
+    for c in range(0, N, n_chunk):
+        ch = min(n_chunk, N - c)
         cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
         onehot = (nodes == cols).astype(f32) * upd                     # [Np, ch]
         hf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
