@@ -56,6 +56,10 @@ class DGConfig:
     #     batcher emits (Np, Ep <= a few thousand).
     #   "scatter": jax.ops.segment_* (better on CPU and for huge levels).
     level_aggr: str = "onehot"
+    # Structural encoder family: "multigcn" (--model DG_*, the recurrent
+    # AggConv+GRU towers) or "gcn" (--model AE, the 2-layer degree-normalized
+    # DirectedGCNConvEncoder, train.py:51-54).
+    struct_encoder: str = "multigcn"
 
     @property
     def gate_types(self) -> tuple:
@@ -76,8 +80,14 @@ class DGConfig:
 def init_params(key, cfg: DGConfig, dtype=jnp.float32):
     D, T = cfg.dim_hidden, cfg.num_experts
     keys = jax.random.split(key, 16)
+    if cfg.struct_encoder == "gcn":
+        from .gcn import directed_gcn_encoder_init
+
+        struct = directed_gcn_encoder_init(keys[0], cfg.dim_feature, D, D, dtype)
+    else:
+        struct = direct_multigcn_init(keys[0], D, cfg.dim_feature, cfg.layernorm, dtype)
     params = {
-        "struct": direct_multigcn_init(keys[0], D, cfg.dim_feature, cfg.layernorm, dtype),
+        "struct": struct,
         "hs_linear": linear_init(keys[1], 2 * D, D, dtype),
         "hs_decompose": linear_init(keys[2], D, 2 * D, dtype),
         "experts": _experts_init(keys[3], cfg, dtype),
@@ -168,12 +178,27 @@ def forward(params, batch, cfg: DGConfig, rng=None, use_pallas: bool = False,
     (forward/inference only — no VJP yet; training uses the XLA scan).
     """
     dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype != jnp.float32:
+        # throughput mode: params + activations in bf16 (fp32 master params
+        # stay outside; this cast is free under jit). Parity mode is fp32.
+        params = jax.tree.map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params,
+        )
     D, T = cfg.dim_hidden, cfg.num_experts
     gate = batch["gate"]
     x_feat = struct_input(gate, cfg, dtype)
-    s, t = direct_multigcn_apply(
-        params["struct"], x_feat, batch, cfg.s_rounds, cfg.t_rounds, cfg.layernorm,
-    )
+    if cfg.struct_encoder == "gcn":
+        from .gcn import directed_gcn_encoder_apply
+
+        s, t = directed_gcn_encoder_apply(
+            params["struct"], x_feat, x_feat,
+            batch["edge_src"], batch["edge_dst"], batch["edge_valid"],
+        )
+    else:
+        s, t = direct_multigcn_apply(
+            params["struct"], x_feat, batch, cfg.s_rounds, cfg.t_rounds, cfg.layernorm,
+        )
     aux = {}
     if cfg.variational:
         assert rng is not None, "variational forward needs an rng"

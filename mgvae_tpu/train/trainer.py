@@ -135,10 +135,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _iter_batches(self, dataset, shuffle: bool):
-        """Host-side loader: shuffle, drop_last, shard across devices."""
+        """Host-side loader: shuffle, drop_last, shard across devices.
+
+        Multi-host: each process takes a strided slice of the (identically
+        shuffled) index list — the DistributedSampler equivalent
+        (trainer.py:179-192). The np rng is seeded identically on every
+        process so the shuffles agree."""
         idx = np.arange(len(dataset))
         if shuffle:
             self._np_rng.shuffle(idx)
+        if jax.process_count() > 1:
+            idx = idx[jax.process_index() :: jax.process_count()]
         step_graphs = self.batch_size * self.num_devices
         n_steps = len(dataset) // step_graphs
         for s in range(n_steps):

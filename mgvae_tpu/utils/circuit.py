@@ -371,6 +371,107 @@ def get_function_acc(graph, node_emb, samples: int = 100, min_gap: float = 0.05,
     return correct / total if total else -1
 
 
+def backward_search(node_idx, fanin_list, x_data, min_level):
+    """Transitive fan-in cone down to min_level (circuit_utils.py:728-741)."""
+    if x_data[node_idx][2] <= min_level:
+        return []
+    result = set()
+    stack = [node_idx]
+    while stack:
+        cur = stack.pop()
+        for pre in fanin_list[cur]:
+            if x_data[pre][2] > min_level and pre not in result:
+                result.add(pre)
+                stack.append(pre)
+    return sorted(result)
+
+
+def extract_subcircuit(graph, roots, max_depth: int | None = None):
+    """Extract the transitive fan-in cone of ``roots`` as a new CircuitGraph
+    (the generate_sub_circuit / circuit_extraction capability,
+    circuit_utils.py:396-552, reformulated on CircuitGraph)."""
+    from ..data.graph import build_graph
+
+    n = graph.num_nodes
+    fanin, _ = get_fanin_fanout(n, graph.edge_index)
+    keep = set()
+    frontier = [(int(r), 0) for r in roots]
+    while frontier:
+        v, d = frontier.pop()
+        if v in keep:
+            continue
+        keep.add(v)
+        if max_depth is None or d < max_depth:
+            frontier.extend((u, d + 1) for u in fanin[v])
+    keep_sorted = sorted(keep)
+    remap = {v: i for i, v in enumerate(keep_sorted)}
+    gate = graph.gate[keep_sorted]
+    # cut fan-ins outside the cone become PIs
+    edges = [
+        (remap[u], remap[v])
+        for u, v in graph.edge_index.T
+        if int(u) in keep and int(v) in keep
+    ]
+    sub_fanin_cnt = np.zeros(len(keep_sorted), np.int64)
+    for _, v in edges:
+        sub_fanin_cnt[v] += 1
+    gate = gate.copy()
+    gate[sub_fanin_cnt == 0] = 0  # INPUT
+    edge_index = (
+        np.asarray(edges, dtype=np.int64).T if edges else np.zeros((2, 0), np.int64)
+    )
+    return build_graph(f"{graph.name}_sub", gate, edge_index), keep_sorted
+
+
+def check_reconvergence(graph):
+    """Validate rc annotations by path counting (circuit_utils.py:743-764
+    capability): returns node indices reachable from >1 parallel path."""
+    n = graph.num_nodes
+    fanin, _ = get_fanin_fanout(n, graph.edge_index)
+    levels = graph.forward_level
+    order = np.argsort(levels, kind="stable")
+    rc = []
+    for v in order:
+        srcs = set()
+        dup = False
+        stack = list(fanin[v])
+        # count distinct multi-fanout ancestors reached via >1 immediate fanin
+        seen_per_branch = [set() for _ in fanin[v]]
+        for bi, u in enumerate(fanin[v]):
+            st = [u]
+            while st:
+                x = st.pop()
+                if x in seen_per_branch[bi]:
+                    continue
+                seen_per_branch[bi].add(x)
+                st.extend(fanin[x])
+        for i in range(len(seen_per_branch)):
+            for j in range(i + 1, len(seen_per_branch)):
+                if seen_per_branch[i] & seen_per_branch[j]:
+                    dup = True
+        del srcs, stack
+        if dup:
+            rc.append(int(v))
+    return rc
+
+
+def circuit_statistics(graph):
+    """Summary stats (circuit_utils.py:769-817 capability)."""
+    n = graph.num_nodes
+    _, fanout = get_fanin_fanout(n, graph.edge_index)
+    counts = {int(g): int(c) for g, c in zip(*np.unique(graph.gate, return_counts=True))}
+    return {
+        "name": graph.name,
+        "num_nodes": n,
+        "num_edges": graph.num_edges,
+        "num_levels": graph.num_levels,
+        "num_pis": int(len(graph.PIs)),
+        "num_pos": int(len(graph.POs)),
+        "gate_counts": counts,
+        "max_fanout": max((len(f) for f in fanout), default=0),
+    }
+
+
 def generate_orthogonal_vectors(n: int, dim: int, seed=None):
     """Random (approximately) orthogonal unit vectors (utils/utils.py:149+).
     Uses QR on gaussian blocks instead of the reference's rejection loop."""

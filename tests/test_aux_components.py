@@ -122,3 +122,18 @@ def test_directed_gae_end_to_end():
     assert 0.0 <= auc <= 1.0 and 0.0 <= ap <= 1.0
     c = confusion_counts(np.asarray(pred_bin), np.asarray(gt_bin))
     assert abs(c["acc"] - (c["TP"] + c["TN"])) < 1e-9
+
+
+def test_ae_model_gcn_struct_encoder():
+    """--model AE path: DirectedGCNConv struct encoder inside the DG skeleton."""
+    from mgvae_tpu.data.batching import collate
+    from mgvae_tpu.data.synthetic import random_circuit
+    from mgvae_tpu.models.dg_ae import DGConfig, forward, init_params
+
+    cfg = DGConfig(modality="mig", dim_hidden=32, struct_encoder="gcn")
+    params, _ = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(9)
+    g = random_circuit(rng, "mig", num_inputs=4, num_gates=24)
+    batch = jax.tree.map(jnp.asarray, collate([g]))
+    hs, hf, _ = forward(params, batch, cfg)
+    assert hs.shape[1] == 32 and np.isfinite(np.asarray(hf)).all()

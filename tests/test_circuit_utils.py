@@ -107,3 +107,29 @@ def test_get_function_acc_perfect_embeddings():
     emb = rng.normal(size=(g.num_nodes, 16))
     acc = get_function_acc(g, emb, samples=50)
     assert acc == -1 or 0.0 <= acc <= 1.0
+
+
+def test_extract_subcircuit_and_statistics():
+    from mgvae_tpu.data.synthetic import random_circuit
+    from mgvae_tpu.utils.circuit import circuit_statistics, extract_subcircuit
+
+    rng = np.random.default_rng(6)
+    g = random_circuit(rng, "mig", num_inputs=6, num_gates=50)
+    root = int(g.POs[0]) if len(g.POs) else g.num_nodes - 1
+    sub, kept = extract_subcircuit(g, [root])
+    assert sub.num_nodes == len(kept) <= g.num_nodes
+    assert root in kept
+    # cut nodes became PIs; subgraph still levelizes
+    assert (sub.forward_level >= 0).all()
+    stats = circuit_statistics(g)
+    assert stats["num_nodes"] == g.num_nodes and stats["num_pis"] >= 6
+
+
+def test_backward_search_cone():
+    from mgvae_tpu.utils.circuit import backward_search
+
+    # a(0) -> c(2); b(1) -> c; c -> d(3)
+    x_data = [["a", 0, 0], ["b", 0, 0], ["c", 1, 1], ["d", 5, 2]]
+    fanin = [[], [], [0, 1], [2]]
+    cone = backward_search(3, fanin, x_data, min_level=0)
+    assert cone == [2]

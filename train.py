@@ -54,6 +54,8 @@ if __name__ == "__main__":
         layernorm=args.layernorm,
         variational="VAE" in args.model,
         input_quirk=not args.no_input_quirk,
+        # --model AE selects the 2-layer DirectedGCN encoder (train.py:51-54)
+        struct_encoder="multigcn" if "DG" in args.model else "gcn",
     )
 
     trainer = mgvae_tpu.Trainer(
