@@ -147,14 +147,34 @@ class Trainer:
         if jax.process_count() > 1:
             idx = idx[jax.process_index() :: jax.process_count()]
         step_graphs = self.batch_size * self.num_devices
-        n_steps = len(dataset) // step_graphs
-        for s in range(n_steps):
+        n_steps = len(idx) // step_graphs
+
+        def make(s):
             chunk = [dataset[i] for i in idx[s * step_graphs : (s + 1) * step_graphs]]
             if self.mesh is not None:
                 shards = [chunk[d * self.batch_size : (d + 1) * self.batch_size] for d in range(self.num_devices)]
-                yield collate_shards(shards)
-            else:
-                yield collate(chunk)
+                return collate_shards(shards)
+            return collate(chunk)
+
+        # background-thread prefetch: host-side collation (python/numpy)
+        # overlaps device steps instead of serializing with them
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def producer():
+            for s in range(n_steps):
+                q.put(make(s))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is None:
+                break
+            yield b
 
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
