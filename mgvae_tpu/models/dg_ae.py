@@ -391,8 +391,9 @@ def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
 
 
 def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False):
-    """Fused-kernel level recurrence (ops/pallas/level_kernel.py)."""
-    from ..ops.pallas.level_kernel import LANE, _round_up, fused_level_scan
+    """Fused-kernel level recurrence (ops/pallas/level_kernel.py), with a
+    hand-written VJP so training can use it too."""
+    from ..ops.pallas.level_kernel import LANE, _round_up, pallas_level_scan
 
     D, T = cfg.dim_hidden, cfg.num_experts
     ex = params["experts"]
@@ -404,7 +405,7 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
     lv_nodes = batch["lv_nodes"]
     lv_upd = (batch["lv_node_valid"] & (expert[lv_nodes] >= 0)).astype(jnp.int32)
     lv_e_n = jnp.maximum(expert[lv_nodes], 0)
-    return fused_level_scan(
+    return pallas_level_scan(
         pack_lv,
         batch["lv_edge_src"],
         batch["lv_edge_dst_slot"],
@@ -417,10 +418,10 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
         ex["b_ih"],
         ex["b_hh"],
         ex["wa_k"],
-        num_nodes=hs.shape[0],
-        dim=D,
-        num_experts=T,
-        interpret=interpret,
+        hs.shape[0],
+        D,
+        T,
+        interpret,
     )
 
 

@@ -22,9 +22,11 @@ Design choices (TPU-specific):
   * masked segment softmax exactly like the XLA path (PyG semantics + the
     1e-16 normalizer), scores masked before exp so padding can't overflow.
 
-FORWARD ONLY: training takes the XLA path (jax.grad through pallas_call
-needs a hand-written VJP — planned); inference/encoding (the headline
-benchmark) uses this kernel on TPU when the batch fits VMEM.
+Training support: ``pallas_level_scan`` wraps forward + a hand-written
+backward kernel in jax.custom_vjp. The backward needs NO saved activations
+beyond the final hf — every node is written exactly once at its own level,
+so the final hf already contains each level's exact forward inputs and the
+reverse-level sweep recomputes attention/GRU intermediates in-kernel.
 """
 from __future__ import annotations
 
@@ -210,3 +212,254 @@ def _level_kernel(
         hf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
             onehot, h_new, dimension_numbers=_DN_T, preferred_element_type=f32
         )
+
+
+# ===========================================================================
+# Backward kernel + custom VJP
+# ===========================================================================
+
+def fused_level_scan_bwd(
+    ghf_in, hf_final,
+    pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    *, num_nodes: int, dim: int, num_experts: int, interpret: bool = False,
+):
+    """Reverse-level sweep. Returns (d_pack_lv, d_wkv, d_wih, d_bih, d_bhh,
+    d_wak). Grid step i processes level L-1-i; ghf (the hf cotangent) is a
+    VMEM accumulator seeded from ghf_in and fed upstream via per-source
+    scatter-adds."""
+    L, Ep, PW = pack_lv.shape
+    Np = lv_nodes.shape[1]
+    D, T = dim, num_experts
+    N = num_nodes
+
+    lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
+    lv_nodes, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
+
+    n_chunk = _pick_chunk(Ep, N)
+    kernel = functools.partial(_level_bwd_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk)
+    rev = lambda blk: pl.BlockSpec(blk, lambda i, L=L: (L - 1 - i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    f32 = pack_lv.dtype
+    out = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[
+            full,                 # ghf_in
+            full,                 # hf_final
+            rev((1, Ep, PW)),     # pack
+            rev((1, Ep, 1)), rev((1, Ep, 1)), rev((1, Ep, 1)),
+            rev((1, Np, 1)), rev((1, Np, 1)), rev((1, Np, 1)),
+            full, full, full, full, full,
+        ],
+        out_specs=(
+            rev((1, Ep, PW)),                      # d_pack
+            acc((D, 2 * T * D)),                   # d_wkv
+            acc((D, 3 * T * D)),                   # d_wih
+            acc((T, 3 * D)),                       # d_bih
+            acc((T, 3 * D)),                       # d_bhh
+            acc((T, D)),                           # d_wak
+            acc((N, D)),                           # ghf (residual, unused)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, Ep, PW), f32),
+            jax.ShapeDtypeStruct((D, 2 * T * D), f32),
+            jax.ShapeDtypeStruct((D, 3 * T * D), f32),
+            jax.ShapeDtypeStruct((T, 3 * D), f32),
+            jax.ShapeDtypeStruct((T, 3 * D), f32),
+            jax.ShapeDtypeStruct((T, D), f32),
+            jax.ShapeDtypeStruct((N, D), f32),
+        ),
+        interpret=interpret,
+    )(ghf_in, hf_final, pack_lv, lv_src, lv_dslot, lv_evalid,
+      lv_nodes, lv_upd, lv_e_n, wkv_hf, w_ih, b_ih, b_hh, wa_k)
+    return out[:6]
+
+
+def _level_bwd_kernel(
+    ghf_in_ref, hf_ref,
+    pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
+    wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
+    dpack_ref, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref, ghf_ref,
+    *, N, D, T, Ep, Np, n_chunk,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ghf_ref[:] = ghf_in_ref[:]
+        dwkv_ref[:] = jnp.zeros_like(dwkv_ref)
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dbih_ref[:] = jnp.zeros_like(dbih_ref)
+        dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
+        dwak_ref[:] = jnp.zeros_like(dwak_ref)
+
+    f32 = pack_ref.dtype
+    pack = pack_ref[0]
+    vhs = pack[:, :D]
+    score_static = pack[:, D : D + 1]
+    e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)
+    src = src_ref[0]
+    dslot = dslot_ref[0]
+    evalid = evalid_ref[0] > 0
+    evf = evalid.astype(f32)
+    nodes = nodes_ref[0]
+    upd = (upd_ref[0] > 0).astype(f32)
+    e_n = e_n_ref[0]
+
+    # ---------- recompute forward intermediates from final hf -------------
+    hf_src = jnp.zeros((Ep, D), f32)
+    for c in range(0, N, n_chunk):
+        ch = min(n_chunk, N - c)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
+        onehot = (src == cols).astype(f32)
+        hf_src = hf_src + jnp.dot(onehot, hf_ref[pl.ds(c, ch), :], preferred_element_type=f32)
+    kv = jnp.dot(hf_src, wkv_hf_ref[:], preferred_element_type=f32)
+    eo_edge = [(e_edge == t).astype(f32) for t in range(T)]
+    khf = _select(kv[:, : T * D], eo_edge, T, D)
+    vhf = _select(kv[:, T * D :], eo_edge, T, D)
+    wa = jnp.zeros((Ep, D), f32)
+    for t in range(T):
+        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :]
+    score = score_static + jnp.sum(khf * wa, axis=-1, keepdims=True)
+    v = vhs + vhf
+
+    slots = jax.lax.broadcasted_iota(jnp.int32, (Ep, Np), 1)
+    inc = (dslot == slots) & evalid
+    inc_f = inc.astype(f32)
+    score_m = jnp.where(evalid, score, -1e30)
+    smax = jnp.maximum(jnp.max(jnp.where(inc, score, -1e30), axis=0, keepdims=True), -1e30)
+    shifted = jnp.clip(score_m - jnp.sum(inc_f * smax, axis=1, keepdims=True), -80.0, 0.0)
+    ex_s = jnp.exp(shifted) * evf
+    denom = jnp.sum(ex_s * inc_f, axis=0, keepdims=True) + 1e-16
+    den_edge = jnp.sum(inc_f * denom, axis=1, keepdims=True)
+    attn = ex_s / jnp.where(den_edge > 0, den_edge, 1.0)
+    msg = jax.lax.dot_general(inc_f, v * attn, dimension_numbers=_DN_T, preferred_element_type=f32)
+
+    eo_n = [(e_n == t).astype(f32) for t in range(T)]
+    gi_all = jnp.dot(msg, w_ih_ref[:], preferred_element_type=f32)
+    gi = _select(gi_all, eo_n, T, 3 * D)
+    bi = jnp.zeros((Np, 3 * D), f32)
+    bh = jnp.zeros((Np, 3 * D), f32)
+    for t in range(T):
+        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :]
+        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :]
+    gi = gi + bi
+    r = jax.nn.sigmoid(gi[:, :D] + bh[:, :D])
+    z = jax.nn.sigmoid(gi[:, D : 2 * D] + bh[:, D : 2 * D])
+    nw = jnp.tanh(gi[:, 2 * D :] + r * bh[:, 2 * D :])
+
+    # ---------- cotangent of h_new = (1-z)*nw*upd --------------------------
+    g = jnp.zeros((Np, D), f32)
+    for c in range(0, N, n_chunk):
+        ch = min(n_chunk, N - c)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
+        onehot = (nodes == cols).astype(f32)
+        g = g + jnp.dot(onehot, ghf_ref[pl.ds(c, ch), :], preferred_element_type=f32)
+    g = g * upd
+
+    dnw = g * (1.0 - z)
+    dz = -g * nw
+    dnu = dnw * (1.0 - nw * nw)            # pre-tanh
+    dr = dnu * bh[:, 2 * D :]
+    dzeta = dz * z * (1.0 - z)             # pre-sigmoid z
+    drho = dr * r * (1.0 - r)              # pre-sigmoid r
+    dgi = jnp.concatenate([drho, dzeta, dnu], axis=1)   # [Np, 3D]
+    dbh = jnp.concatenate([drho, dzeta, dnu * r], axis=1)
+
+    # parameter grads for GRU (+ dmsg)
+    dmsg = jnp.zeros((Np, D), f32)
+    for t in range(T):
+        m = eo_n[t] * dgi                   # [Np, 3D]
+        dwih_ref[:, t * 3 * D : (t + 1) * 3 * D] += jax.lax.dot_general(
+            msg, m, dimension_numbers=_DN_T, preferred_element_type=f32)
+        dbih_ref[t : t + 1, :] += jnp.sum(m, axis=0, keepdims=True)
+        dbhh_ref[t : t + 1, :] += jnp.sum(eo_n[t] * dbh, axis=0, keepdims=True)
+        dmsg = dmsg + jax.lax.dot_general(
+            m, w_ih_ref[:, t * 3 * D : (t + 1) * 3 * D],
+            dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    # ---------- attention backward -----------------------------------------
+    per_edge = jnp.dot(inc_f, dmsg, preferred_element_type=f32)   # [Ep, D]
+    dv = attn * per_edge
+    dattn = jnp.sum(v * per_edge, axis=-1, keepdims=True)         # [Ep, 1]
+    s_grp = jnp.sum((attn * dattn) * inc_f, axis=0, keepdims=True)  # [1, Np]
+    dscore = attn * (dattn - jnp.sum(inc_f * s_grp, axis=1, keepdims=True))
+    dscore = dscore * evf
+
+    dkhf = dscore * wa                                             # [Ep, D]
+    for t in range(T):
+        dwak_ref[t : t + 1, :] += jnp.sum(eo_edge[t] * dscore * khf, axis=0, keepdims=True)
+
+    # assemble dkv in expert-block layout and push through Wkv
+    dk_blocks = [eo_edge[t] * dkhf for t in range(T)]
+    dv_blocks = [eo_edge[t] * dv for t in range(T)]
+    dkv = jnp.concatenate(dk_blocks + dv_blocks, axis=1)           # [Ep, 2TD]
+    dwkv_ref[:] += jax.lax.dot_general(
+        hf_src, dkv, dimension_numbers=_DN_T, preferred_element_type=f32)
+    dhf_src = jax.lax.dot_general(
+        dkv, wkv_hf_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)                                # [Ep, D]
+
+    # ---------- pack grads + upstream hf cotangent --------------------------
+    zeros_rest = jnp.zeros((Ep, pack.shape[1] - D - 1), f32)
+    dpack_ref[0] = jnp.concatenate([dv, dscore, zeros_rest], axis=1)
+
+    for c in range(0, N, n_chunk):
+        ch = min(n_chunk, N - c)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
+        onehot = (src == cols).astype(f32) * evf
+        ghf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
+            onehot, dhf_src, dimension_numbers=_DN_T, preferred_element_type=f32)
+
+
+# ---------------------------------------------------------------------------
+# custom VJP wrapper: differentiable w.r.t. pack + weights
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def pallas_level_scan(
+    pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    num_nodes, dim, num_experts, interpret,
+):
+    return fused_level_scan(
+        pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+        wkv_hf, w_ih, b_ih, b_hh, wa_k,
+        num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+    )
+
+
+def _vjp_fwd(
+    pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    num_nodes, dim, num_experts, interpret,
+):
+    hf = fused_level_scan(
+        pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+        wkv_hf, w_ih, b_ih, b_hh, wa_k,
+        num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+    )
+    res = (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+           wkv_hf, w_ih, b_ih, b_hh, wa_k, hf)
+    return hf, res
+
+
+def _vjp_bwd(num_nodes, dim, num_experts, interpret, res, ghf):
+    (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+     wkv_hf, w_ih, b_ih, b_hh, wa_k, hf) = res
+    d_pack, d_wkv, d_wih, d_bih, d_bhh, d_wak = fused_level_scan_bwd(
+        ghf, hf, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+        wkv_hf, w_ih, b_ih, b_hh, wa_k,
+        num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+    )
+    import numpy as _np
+
+    zint = lambda a: _np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (d_pack, zint(lv_src), zint(lv_dslot), zint(lv_evalid),
+            zint(lv_nodes), zint(lv_upd), zint(lv_e_n),
+            d_wkv, d_wih, d_bih, d_bhh, d_wak)
+
+
+pallas_level_scan.defvjp(_vjp_fwd, _vjp_bwd)

@@ -31,3 +31,27 @@ def test_pallas_handles_empty_padded_levels():
     batch = jax.tree.map(jnp.asarray, collate([g]))
     _, hf, _ = forward(params, batch, cfg, use_pallas=True, pallas_interpret=True)
     assert np.isfinite(np.asarray(hf)).all()
+
+
+def test_pallas_vjp_matches_xla_autodiff():
+    """Hand-written backward kernel vs jax.grad through the XLA scan."""
+    import jax.flatten_util
+
+    cfg = DGConfig(modality="mig", dim_hidden=64, layernorm=True)
+    params, _ = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    graphs = [random_circuit(rng, "mig", num_inputs=6, num_gates=40) for _ in range(3)]
+    batch = jax.tree.map(jnp.asarray, collate(graphs))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (batch["gate"].shape[0], 64))
+
+    def loss(params, use_pallas):
+        hs, hf, _ = forward(params, batch, cfg, use_pallas=use_pallas, pallas_interpret=True)
+        m = batch["node_valid"][:, None]
+        return jnp.sum(jnp.where(m, (hf - tgt) ** 2, 0.0)) + 0.01 * jnp.sum(jnp.where(m, hs, 0.0))
+
+    g_x = jax.grad(lambda p: loss(p, False))(params)
+    g_p = jax.grad(lambda p: loss(p, True))(params)
+    a, _ = jax.flatten_util.ravel_pytree(g_x)
+    b, _ = jax.flatten_util.ravel_pytree(g_p)
+    scale = float(jnp.abs(a).max())
+    assert float(jnp.abs(a - b).max()) < 1e-4 * max(scale, 1.0)
