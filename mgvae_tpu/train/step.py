@@ -39,10 +39,26 @@ def set_lr(opt_state, lr):
     return opt_state
 
 
+def _auto_pallas(batch, cfg: DGConfig) -> bool:
+    """Use the fused Pallas level kernel (with its hand-written VJP) when on
+    TPU and the batch fits VMEM. Decided at trace time from static shapes."""
+    if cfg.num_rounds != 1 or jax.default_backend() != "tpu":
+        return False
+    from ..ops.pallas.level_kernel import kernel_fits
+
+    return kernel_fits(
+        batch["gate"].shape[0], batch["lv_edge_src"].shape[1],
+        batch["lv_nodes"].shape[1], cfg.dim_hidden,
+    )
+
+
 def loss_and_metrics(params, state, batch, rng, weights, cfg: DGConfig, train: bool):
     """weights: [w_recon, w_prob, w_func, w_kl]."""
     k_vae, k_neg, k_drop = jax.random.split(rng, 3)
-    hs, hf, aux = forward(params, batch, cfg, rng=k_vae if cfg.variational else None)
+    hs, hf, aux = forward(
+        params, batch, cfg, rng=k_vae if cfg.variational else None,
+        use_pallas=_auto_pallas(batch, cfg),
+    )
     rc, rc_metrics = recon_loss(params, hs, batch, k_neg)
     pl, new_state = prob_loss(params, state, hf, batch, train, k_drop)
     fl = func_loss(hf, batch)
