@@ -173,6 +173,30 @@ def bench_modality(modality, seed, roundtrip):
         f"recon {parity['recon']:.2e} prob {parity['prob']:.2e} func {parity['func']:.2e}"
     )
     assert max(parity.values()) < 0.01, f"loss parity violated: {parity}"
+
+    # ---- secondary: full gradient-step throughput (fwd+bwd) ---------------
+    tgt = jax.random.normal(jax.random.PRNGKey(3), (batch["gate"].shape[0], cfg.dim_hidden))
+
+    def train_loss(p):
+        hs, hf, _ = forward(p, batch, cfg, use_pallas=use_pallas)
+        m = batch["node_valid"][:, None]
+        return jnp.sum(jnp.where(m, (hf - tgt) ** 2, 0.0))
+
+    def chained_grad(p):
+        def body(i, c):
+            g = jax.grad(train_loss)(
+                {**p, "hs_linear": {"w": p["hs_linear"]["w"], "b": p["hs_linear"]["b"] + c * 1e-30}}
+            )
+            return g["hs_linear"]["b"][0]
+
+        return jax.lax.fori_loop(0, CHAIN_K, body, 0.0)
+
+    fg = jax.jit(chained_grad)
+    float(fg(params))
+    t0 = time.perf_counter()
+    float(fg(params))
+    per_step = max((time.perf_counter() - t0 - roundtrip), 1e-9) / CHAIN_K
+    log(f"[{modality}] train fwd+bwd: {per_step * 1e3:.2f} ms / {BATCH} graphs -> {BATCH / per_step:.0f} g/s")
     return ours_gps, torch_gps
 
 
