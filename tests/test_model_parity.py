@@ -77,3 +77,23 @@ def test_input_quirk_collapses_features():
     cfg_fixed = DGConfig(modality="mig", input_quirk=False)
     x2 = struct_input(gate, cfg_fixed)
     np.testing.assert_allclose(np.asarray(x2), np.eye(6))
+
+
+def test_forward_parity_num_rounds_2():
+    """The general (non-fast) level path: num_rounds=2 vs the torch oracle."""
+    rng = np.random.default_rng(21)
+    g = random_circuit(rng, "xag", num_inputs=4, num_gates=28)
+    ref = ReferenceModel("xag", dim_hidden=32, s_rounds=2, t_rounds=2, layernorm=False, num_rounds=2)
+    ref.eval()
+    cfg = DGConfig(modality="xag", dim_hidden=32, s_rounds=2, t_rounds=2, num_rounds=2)
+    params, _ = params_from_torch_state(ref.state_dict(), cfg)
+    with torch.no_grad():
+        hs_t, hf_t = ref(
+            torch.from_numpy(g.gate).long(),
+            torch.from_numpy(g.edge_index),
+            torch.from_numpy(g.forward_level).long(),
+        )
+    batch = _jb(collate([g]))
+    hs_j, hf_j, _ = forward(params, batch, cfg)
+    n = g.num_nodes
+    np.testing.assert_allclose(np.asarray(hf_j)[:n], hf_t.numpy(), rtol=1e-4, atol=1e-4)
