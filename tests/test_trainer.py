@@ -90,3 +90,21 @@ def test_stage_weight_change_no_recompile_crash(tmp_path):
         tr.set_training_args(rc_prob_func_weight=weights, lr=1e-4, lr_step=50)
         m = tr.train(1, ds, ds)
         assert np.isfinite(m["recon"])
+
+
+def test_vae_training_with_kl(tmp_path):
+    """DG_VAE mode end-to-end (BASELINE config #4): reparameterized forward,
+    KL in the objective, finite and decreasing losses. (The reference's
+    DG_VAE path crashes, SURVEY.md quirk 12 — this is the fixed version.)"""
+    cfg = DGConfig(modality="mig", dim_hidden=32, s_rounds=1, t_rounds=1, variational=True)
+    ds = _dataset(8, seed=11)
+    tr = Trainer(
+        _args(), cfg, training_id="vae", save_dir=str(tmp_path), lr=1e-3,
+        rc_prob_func_weight=[1.0, 1.0, 1.0], kl_weight=0.1,
+        batch_size=4, distributed=False,
+    )
+    first = tr.train(1, ds, ds)
+    for _ in range(2):
+        last = tr.train(1, ds, ds)
+    assert np.isfinite(last["recon"]) and np.isfinite(last["kl"])
+    assert last["recon"] < first["recon"]
