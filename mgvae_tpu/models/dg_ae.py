@@ -392,8 +392,15 @@ def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
 
 def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False):
     """Fused-kernel level recurrence (ops/pallas/level_kernel.py), with a
-    hand-written VJP so training can use it too."""
-    from ..ops.pallas.level_kernel import LANE, _round_up, pallas_level_scan
+    hand-written VJP so training can use it too. Batches too large for the
+    VMEM-resident variant stream hf through HBM (forward-only)."""
+    from ..ops.pallas.level_kernel import (
+        LANE,
+        _round_up,
+        fused_level_scan_hbm,
+        kernel_fits,
+        pallas_level_scan,
+    )
 
     D, T = cfg.dim_hidden, cfg.num_experts
     ex = params["experts"]
@@ -405,7 +412,7 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
     lv_nodes = batch["lv_nodes"]
     lv_upd = (batch["lv_node_valid"] & (expert[lv_nodes] >= 0)).astype(jnp.int32)
     lv_e_n = jnp.maximum(expert[lv_nodes], 0)
-    return pallas_level_scan(
+    args = (
         pack_lv,
         batch["lv_edge_src"],
         batch["lv_edge_dst_slot"],
@@ -418,10 +425,13 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
         ex["b_ih"],
         ex["b_hh"],
         ex["wa_k"],
-        hs.shape[0],
-        D,
-        T,
-        interpret,
+    )
+    if kernel_fits(hs.shape[0], pack_lv.shape[1], lv_nodes.shape[1], D):
+        # VMEM-resident variant, differentiable (hand-written VJP)
+        return pallas_level_scan(*args, hs.shape[0], D, T, interpret)
+    # large-batch variant: hf streamed through HBM; forward-only
+    return fused_level_scan_hbm(
+        *args, num_nodes=hs.shape[0], dim=D, num_experts=T, interpret=interpret
     )
 
 

@@ -463,3 +463,167 @@ def _vjp_bwd(num_nodes, dim, num_experts, interpret, res, ghf):
 
 
 pallas_level_scan.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ===========================================================================
+# Large-batch forward variant: hf resident in HBM, chunks DMA'd through a
+# VMEM scratch buffer. Same math as _level_kernel; used when kernel_fits()
+# says the VMEM-resident variant won't fit.
+# ===========================================================================
+
+def kernel_fits_hbm(num_nodes: int, ep: int, np_: int, dim: int) -> bool:
+    """The HBM variant's VMEM footprint is bounded by the chunk buffers and
+    the [Ep, Np] incidence, not by N."""
+    return ep <= 4096 and np_ <= 2048 and dim <= 128
+
+
+def _pick_chunk_divisor(ep: int, n: int) -> int:
+    """Largest multiple of LANE that divides n and keeps the [Ep, chunk]
+    one-hot block within budget. Exact division means every DMA moves the
+    FULL scratch buffer — Mosaic cannot slice the lane dim of a <128-wide
+    VMEM buffer."""
+    budget = max(LANE, min(2048, _CHUNK_BYTES // max(ep * 4, 1)))
+    m = n // LANE
+    best = LANE
+    for k in range(1, m + 1):
+        if m % k == 0 and LANE * k <= budget:
+            best = LANE * k
+    return best
+
+
+def fused_level_scan_hbm(
+    pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    *, num_nodes: int, dim: int, num_experts: int, interpret: bool = False,
+):
+    L, Ep, PW = pack_lv.shape
+    Np = lv_nodes.shape[1]
+    D, T = dim, num_experts
+    N = num_nodes
+
+    lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
+    lv_nodes, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
+
+    n_chunk = _pick_chunk_divisor(Ep, N)
+    DW = _round_up(D, LANE)   # hf lane-padded: DMA cannot slice a <128 lane dim
+    kernel = functools.partial(
+        _level_kernel_hbm, N=N, D=D, DW=DW, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk
+    )
+    row_spec = lambda blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[
+            row_spec((1, Ep, PW)),
+            row_spec((1, Ep, 1)),
+            row_spec((1, Ep, 1)),
+            row_spec((1, Ep, 1)),
+            row_spec((1, Np, 1)),
+            row_spec((1, Np, 1)),
+            row_spec((1, Np, 1)),
+            full, full, full, full, full,
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((N, DW), pack_lv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_chunk, DW), pack_lv.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+      wkv_hf, w_ih, b_ih, b_hh, wa_k)[:, :D]
+
+
+def _level_kernel_hbm(
+    pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
+    wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
+    hf_ref,                     # ANY/HBM [N, DW] (lane-padded)
+    chunk_v, dma_sem,
+    *, N, D, DW, T, Ep, Np, n_chunk,
+):
+    i = pl.program_id(0)
+    f32 = pack_ref.dtype
+
+    # n_chunk divides N exactly: every DMA moves the full scratch buffer
+    def load_chunk(c):
+        cp = pltpu.make_async_copy(hf_ref.at[pl.ds(c, n_chunk), :], chunk_v, dma_sem)
+        cp.start()
+        cp.wait()
+
+    def store_chunk(c):
+        cp = pltpu.make_async_copy(chunk_v, hf_ref.at[pl.ds(c, n_chunk), :], dma_sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == 0)
+    def _():
+        chunk_v[:] = jnp.zeros_like(chunk_v)
+        for c in range(0, N, n_chunk):
+            store_chunk(c)
+
+    pack = pack_ref[0]
+    vhs = pack[:, :D]
+    score_static = pack[:, D : D + 1]
+    e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)
+    src = src_ref[0]
+    dslot = dslot_ref[0]
+    evalid = evalid_ref[0] > 0
+    evf = evalid.astype(f32)
+
+    # gather hf[src]: stream chunks from HBM
+    hf_src = jnp.zeros((Ep, D), f32)
+    for c in range(0, N, n_chunk):
+        load_chunk(c)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
+        onehot = (src == cols).astype(f32)
+        hf_src = hf_src + jnp.dot(onehot, chunk_v[:], preferred_element_type=f32)[:, :D]
+
+    kv = jnp.dot(hf_src, wkv_hf_ref[:], preferred_element_type=f32)
+    eo_edge = [(e_edge == t).astype(f32) for t in range(T)]
+    khf = _select(kv[:, : T * D], eo_edge, T, D)
+    vhf = _select(kv[:, T * D :], eo_edge, T, D)
+    wa = jnp.zeros((Ep, D), f32)
+    for t in range(T):
+        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :]
+    score = score_static + jnp.sum(khf * wa, axis=-1, keepdims=True)
+    v = vhs + vhf
+
+    slots = jax.lax.broadcasted_iota(jnp.int32, (Ep, Np), 1)
+    inc = (dslot == slots) & evalid
+    inc_f = inc.astype(f32)
+    score_m = jnp.where(evalid, score, -1e30)
+    smax = jnp.maximum(jnp.max(jnp.where(inc, score, -1e30), axis=0, keepdims=True), -1e30)
+    shifted = jnp.clip(score_m - jnp.sum(inc_f * smax, axis=1, keepdims=True), -80.0, 0.0)
+    ex_s = jnp.exp(shifted) * evf
+    denom = jnp.sum(ex_s * inc_f, axis=0, keepdims=True) + 1e-16
+    den_edge = jnp.sum(inc_f * denom, axis=1, keepdims=True)
+    attn = ex_s / jnp.where(den_edge > 0, den_edge, 1.0)
+    msg = jax.lax.dot_general(inc_f, v * attn, dimension_numbers=_DN_T, preferred_element_type=f32)
+
+    e_n = e_n_ref[0]
+    eo_n = [(e_n == t).astype(f32) for t in range(T)]
+    gi = _select(jnp.dot(msg, w_ih_ref[:], preferred_element_type=f32), eo_n, T, 3 * D)
+    bi = jnp.zeros((Np, 3 * D), f32)
+    bh = jnp.zeros((Np, 3 * D), f32)
+    for t in range(T):
+        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :]
+        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :]
+    gi = gi + bi
+    r = jax.nn.sigmoid(gi[:, :D] + bh[:, :D])
+    z = jax.nn.sigmoid(gi[:, D : 2 * D] + bh[:, D : 2 * D])
+    nw = jnp.tanh(gi[:, 2 * D :] + r * bh[:, 2 * D :])
+    upd = (upd_ref[0] > 0).astype(f32)
+    h_new = (1.0 - z) * nw * upd
+
+    # scatter-add: read chunk, add contribution, write back
+    nodes = nodes_ref[0]
+    h_new_w = jnp.concatenate([h_new, jnp.zeros((Np, DW - D), f32)], axis=1) if DW > D else h_new
+    for c in range(0, N, n_chunk):
+        load_chunk(c)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Np, n_chunk), 1) + c
+        onehot = (nodes == cols).astype(f32) * upd
+        chunk_v[:] += jax.lax.dot_general(
+            onehot, h_new_w, dimension_numbers=_DN_T, preferred_element_type=f32
+        )
+        store_chunk(c)

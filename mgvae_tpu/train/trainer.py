@@ -187,6 +187,7 @@ class Trainer:
         if self.trace_dir and self.is_chief:
             jax.profiler.start_trace(self.trace_dir)
             tracing = True
+        phase_meters = {}
         for epoch in range(num_epoch):
             for phase in ("train", "val"):
                 ds = train_dataset if phase == "train" else val_dataset
@@ -229,6 +230,7 @@ class Trainer:
                 if phase == "train" and self.model_epoch % 10 == 0:
                     self.save(os.path.join(self.log_dir, f"model_{self.model_epoch}.pth"))
                     self.save(os.path.join(self.log_dir, "model_last.pth"))
+                phase_meters[phase] = meters if pending else phase_meters.get(phase, meters)
                 if self.is_chief:
                     self.logger.write(
                         "{}| Epoch: {:}/{:} |Recon: {:.4f} |ACC: {:.2f} |Prob: {:.4f} |Func: {:.4f}|Net: {:.2f}s\n".format(
@@ -247,4 +249,12 @@ class Trainer:
                 self.opt_state = set_lr(self.opt_state, self.lr)
         if tracing:
             jax.profiler.stop_trace()
-        return {k: v.avg for k, v in meters.items()} if num_epoch else {}
+        if not num_epoch:
+            return {}
+        # last epoch's meters: val phase when it had batches, else train
+        # (the val split can be smaller than batch_size under drop_last)
+        best = phase_meters.get("val") if phase_meters.get("val", meters)["recon"].count else phase_meters.get("train", meters)
+        out = {k: v.avg for k, v in best.items()}
+        out["train"] = {k: v.avg for k, v in phase_meters.get("train", meters).items()}
+        out["val"] = {k: v.avg for k, v in phase_meters.get("val", meters).items()}
+        return out
