@@ -62,12 +62,12 @@ class Model:
         def _fwd_fn(p, b, r):
             use_pallas = False
             if jax.default_backend() == "tpu" and cfg.num_rounds == 1:
-                from .ops.pallas.level_kernel import kernel_fits, kernel_fits_hbm
+                # VMEM-resident kernel only: the HBM-streaming variant is
+                # currently DMA-latency-bound and loses to the XLA scan at
+                # large batch (explicit use_pallas=True still selects it).
+                from .ops.pallas.level_kernel import kernel_fits
 
                 use_pallas = kernel_fits(
-                    b["gate"].shape[0], b["lv_edge_src"].shape[1],
-                    b["lv_nodes"].shape[1], cfg.dim_hidden,
-                ) or kernel_fits_hbm(
                     b["gate"].shape[0], b["lv_edge_src"].shape[1],
                     b["lv_nodes"].shape[1], cfg.dim_hidden,
                 )
