@@ -78,31 +78,15 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
     # ---- level tables -------------------------------------------------
     max_level = int(fwd.max()) if n else 0  # update levels are 1..max_level
     lv_real = max_level
-    # nodes per level (levels >= 1)
+    # nodes / in-edges grouped by (destination) level, all vectorized
     node_order = np.argsort(fwd, kind="stable")
     lv_counts = np.bincount(fwd, minlength=max_level + 1)
-    lv_node_lists = []
-    start = int(lv_counts[0])
-    for l in range(1, max_level + 1):
-        cnt = int(lv_counts[l])
-        lv_node_lists.append(np.sort(node_order[start : start + cnt]))
-        start += cnt
-    # in-edges grouped by destination level
     dst_level = fwd[edge[1]] if e else np.zeros(0, np.int32)
-    lv_edge_lists = []
-    if e:
-        edge_order = np.argsort(dst_level, kind="stable")
-        ecounts = np.bincount(dst_level, minlength=max_level + 1)
-        estart = int(ecounts[0])  # edges into level-0 nodes cannot exist
-        for l in range(1, max_level + 1):
-            cnt = int(ecounts[l])
-            lv_edge_lists.append(edge_order[estart : estart + cnt])
-            estart += cnt
-    else:
-        lv_edge_lists = [np.zeros(0, np.int64) for _ in range(max_level)]
+    edge_order = np.argsort(dst_level, kind="stable") if e else np.zeros(0, np.int64)
+    ecounts = np.bincount(dst_level, minlength=max_level + 1) if e else np.zeros(max_level + 1, np.int64)
 
-    np_real = max((len(x) for x in lv_node_lists), default=0)
-    ep_real = max((len(x) for x in lv_edge_lists), default=0)
+    np_real = int(lv_counts[1:].max()) if max_level else 0
+    ep_real = int(ecounts[1:].max()) if max_level else 0
 
     # ---- padded dims ---------------------------------------------------
     dims = dims or {}
@@ -144,19 +128,26 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
     lv_edge_dst_slot = np.zeros((L, EP), dtype=np.int32)
     lv_edge_valid = np.zeros((L, EP), dtype=bool)
     lv_edge_id = np.full((L, EP), E - 1, dtype=np.int32)  # index into edge arrays
+
+    # vectorized fill: rank-within-level for nodes and edges (no python loop)
     slot_of = np.zeros(N, dtype=np.int32)
-    for i in range(lv_real):
-        nodes = lv_node_lists[i]
-        k = len(nodes)
-        lv_nodes[i, :k] = nodes
-        lv_node_valid[i, :k] = True
-        slot_of[nodes] = np.arange(k, dtype=np.int32)
-        eidx = lv_edge_lists[i]
-        m = len(eidx)
-        lv_edge_src[i, :m] = edge[0][eidx]
-        lv_edge_dst_slot[i, :m] = slot_of[edge[1][eidx]]
-        lv_edge_valid[i, :m] = True
-        lv_edge_id[i, :m] = eidx
+    if lv_real:
+        upd_nodes = node_order[int(lv_counts[0]) :]          # sorted by level
+        lv_of_node = fwd[upd_nodes].astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lv_counts[1:])])
+        rank = np.arange(len(upd_nodes)) - starts[lv_of_node - 1]
+        lv_nodes[lv_of_node - 1, rank] = upd_nodes
+        lv_node_valid[lv_of_node - 1, rank] = True
+        slot_of[upd_nodes] = rank.astype(np.int32)
+        if e:
+            eidx = edge_order[int(ecounts[0]) :]
+            lv_of_edge = dst_level[eidx].astype(np.int64)
+            estarts = np.concatenate([[0], np.cumsum(ecounts[1:])])
+            erank = np.arange(len(eidx)) - estarts[lv_of_edge - 1]
+            lv_edge_src[lv_of_edge - 1, erank] = edge[0][eidx]
+            lv_edge_dst_slot[lv_of_edge - 1, erank] = slot_of[edge[1][eidx]]
+            lv_edge_valid[lv_of_edge - 1, erank] = True
+            lv_edge_id[lv_of_edge - 1, erank] = eidx
     out.update(
         lv_nodes=lv_nodes,
         lv_node_valid=lv_node_valid,
@@ -210,14 +201,12 @@ def _blocked_tables(by, other, nb, dims_key, dump):
     src = np.full((nb, eb), dump, dtype=np.int32)
     slot = np.zeros((nb, eb), dtype=np.int32)
     valid = np.zeros((nb, eb), dtype=bool)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    for b in range(nb):
-        s, c = int(starts[b]), int(counts[b])
-        if c == 0:
-            continue
-        src[b, :c] = other_s[s : s + c]
-        slot[b, :c] = by_s[s : s + c] - b * BLOCK_D
-        valid[b, :c] = True
+    if len(blk):
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        rank = np.arange(len(blk)) - starts[blk]
+        src[blk, rank] = other_s
+        slot[blk, rank] = by_s - blk * BLOCK_D
+        valid[blk, rank] = True
     return src, slot, valid, eb
 
 
@@ -248,13 +237,51 @@ def natural_dims(graphs: list[CircuitGraph]) -> dict:
     }
 
 
+_PAD_FILL = {  # fill values preserving batch invariants when extending dims
+    "gate": 0, "node_valid": False, "forward_level": 0, "graph_id": -1, "prob": 0.0,
+    "edge_src": 0, "edge_dst": 0, "edge_valid": False,
+    "tt_pair_a": 0, "tt_pair_b": 0, "tt_valid": False, "tt_dis": 0.0,
+    "lv_node_valid": False, "lv_edge_dst_slot": 0, "lv_edge_valid": False,
+    "lv_upd": 0, "fa_slot": 0, "fa_valid": False, "ra_slot": 0, "ra_valid": False,
+    "deg_in": 0.0, "deg_out": 0.0,
+}
+_PAD_DUMP = {"lv_nodes", "lv_edge_src", "fa_src", "ra_src"}  # point at dump node
+_PAD_LASTE = {"lv_edge_id"}  # point at last (padding) edge
+
+
+def _pad_batch_to(batch: dict, shapes: dict) -> dict:
+    """Extend a collated batch's padded dims (fills keep masks false and
+    indices on the dump slots) — cheaper than re-collating a shard."""
+    dump = int(batch["n_nodes"])
+    out = {}
+    for k, v in batch.items():
+        tgt = shapes.get(k)
+        if tgt is None or not isinstance(v, np.ndarray) or v.shape == tgt:
+            out[k] = v
+            continue
+        pad = [(0, t - s) for s, t in zip(v.shape, tgt)]
+        if k in _PAD_DUMP:
+            fill = dump
+        elif k in _PAD_LASTE:
+            fill = shapes["edge_src"][0] - 1
+        else:
+            fill = _PAD_FILL.get(k, 0)
+        out[k] = np.pad(v, pad, constant_values=fill)
+    return out
+
+
 def collate_shards(shards: list[list[CircuitGraph]]) -> dict:
     """Collate one shard per device with COMMON padded dims and stack a
     leading 'dp' axis — the host-side half of shard_map data parallelism
     (the DistributedSampler equivalent, trainer.py:179-192)."""
-    all_dims = [natural_dims(s) for s in shards]
-    dims = {k: max(d[k] for d in all_dims) for k in all_dims[0]}
-    batches = [collate(s, dims=dims) for s in shards]
+    batches = [collate(s) for s in shards]
+    shapes = {
+        k: tuple(max(b[k].shape[i] for b in batches) for i in range(b0[k].ndim))
+        if isinstance((b0 := batches[0])[k], np.ndarray) else None
+        for k in batches[0]
+    }
+    shapes = {k: v for k, v in shapes.items() if v is not None}
+    batches = [_pad_batch_to(b, shapes) for b in batches]
     return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
 
 

@@ -164,9 +164,12 @@ class Trainer:
         q: queue.Queue = queue.Queue(maxsize=2)
 
         def producer():
-            for s in range(n_steps):
-                q.put(make(s))
-            q.put(None)
+            try:
+                for s in range(n_steps):
+                    q.put(make(s))
+                q.put(None)
+            except BaseException as e:  # propagate instead of hanging the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -174,6 +177,8 @@ class Trainer:
             b = q.get()
             if b is None:
                 break
+            if isinstance(b, BaseException):
+                raise b
             yield b
 
     def _next_rng(self):
