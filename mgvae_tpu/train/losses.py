@@ -69,7 +69,7 @@ def recon_loss(params, hs, batch, rng, neg_edges=None):
     """
     s, t = hs_decompose(params, hs)
     ev = batch["edge_valid"]
-    e_count = batch["n_edges"].astype(hs.dtype)
+    e_count = jnp.maximum(batch["n_edges"].astype(hs.dtype), 1.0)
     pos_pred = decode_edges(s, t, batch["edge_src"], batch["edge_dst"])
     pos_loss = masked_mean(-jnp.log(pos_pred + EPS), ev, e_count)
 
@@ -102,7 +102,8 @@ def prob_loss(params, state, hf, batch, train: bool, rng):
     )
     pred = jnp.clip(out[:, 0], 0.0, 1.0)
     l1 = jnp.abs(pred - batch["prob"])
-    return masked_mean(l1, valid, batch["n_nodes"].astype(hf.dtype)), {"readout_prob": new_state}
+    n_count = jnp.maximum(batch["n_nodes"].astype(hf.dtype), 1.0)
+    return masked_mean(l1, valid, n_count), {"readout_prob": new_state}
 
 
 def func_loss(hf, batch):
@@ -114,7 +115,7 @@ def func_loss(hf, batch):
     cos = jnp.sum(a * b, axis=-1) / (na * nb)
     emb_dis = 1.0 - cos
     valid = batch["tt_valid"]
-    count = batch["n_tt"].astype(hf.dtype)
+    count = jnp.maximum(batch["n_tt"].astype(hf.dtype), 1.0)
     emb_z = masked_zscore(emb_dis, valid, count)
     tt_z = masked_zscore(batch["tt_dis"], valid, count)
     return masked_mean(jnp.abs(emb_z - tt_z), valid, count)

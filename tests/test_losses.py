@@ -102,3 +102,22 @@ def test_variational_forward_and_kl():
     assert set(aux) == {"s_mu", "s_logstd", "t_mu", "t_logstd"}
     kl = losses.kl_loss(aux, batch)
     assert np.isfinite(float(kl))
+
+
+def test_losses_finite_with_no_tt_pairs_and_no_edges():
+    """Degenerate batches (no labeled pairs / no edges) must not divide by 0."""
+    from mgvae_tpu.data.batching import collate
+    from mgvae_tpu.data.graph import build_graph
+    from mgvae_tpu.models.dg_ae import DGConfig, init_params
+    from mgvae_tpu.train.step import loss_and_metrics
+
+    cfg = DGConfig(modality="mig", dim_hidden=32, s_rounds=1, t_rounds=1)
+    params, state = init_params(jax.random.PRNGKey(0), cfg)
+    g = build_graph("pis_only", np.zeros(5, np.int64), np.zeros((2, 0), np.int64))
+    batch = jax.tree.map(jnp.asarray, collate([g]))
+    total, (new_state, metrics) = loss_and_metrics(
+        params, state, batch, jax.random.PRNGKey(1), jnp.asarray([1.0, 1.0, 1.0, 0.0]), cfg, True
+    )
+    assert np.isfinite(float(total))
+    for k in ("recon_loss", "prob_loss", "func_loss"):
+        assert np.isfinite(float(metrics[k])), k
