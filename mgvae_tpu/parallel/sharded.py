@@ -1,0 +1,183 @@
+"""Within-level model parallelism: the domain's "sequence parallelism".
+
+The reference has no sequence axis; its unbounded dimension is DAG depth,
+processed serially, with each level touching a dynamic node set
+(SURVEY.md §5.7). When a single level's node/edge population outgrows one
+chip, the TPU-native scaling move is to shard WITHIN each level:
+
+  * the level edge tables [L, Ep] shard on the Ep axis across the 'mp' mesh
+    axis — each device computes attention scores/messages for its slice;
+  * the per-destination softmax needs cross-shard normalization: a pmax of
+    per-slot maxima and a psum of exp-sums + weighted values (3 collectives
+    per level, riding ICI inside the scan);
+  * the struct encoder's blocked-CSR aggregation shards on the node-block
+    axis; each device aggregates + GRU-updates its node slice, then
+    all-gathers the new state (the state must be replicated for the next
+    round's gathers).
+
+Composes with data parallelism as a 2-D mesh ('dp', 'mp').
+
+This module implements the sharded forward for the num_rounds==1 fast path;
+numerics match the single-device forward exactly (tests run on the virtual
+8-device CPU mesh).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.dg_ae import DGConfig, _select_expert, struct_input
+from ..ops.init import gru_cell_apply, layernorm_apply, linear_apply
+
+shard_map = jax.shard_map
+
+
+def _sharded_struct_tower(params, x_feat_l, batch_l, num_rounds, layernorm, n, axis):
+    """One MultiGCN tower with node-blocks sharded on ``axis``.
+
+    x_feat_l / deg / fa tables are the local node-block slices; returns the
+    REPLICATED [N, D] state (all-gathered each half-round).
+    """
+    dim = params["aggr"]["w"].shape[1]
+    state = jnp.ones((n, dim), x_feat_l.dtype)          # replicated
+
+    def blocked_sum_local(state_repl, src_tbl, slot_tbl, valid_tbl):
+        msgs = state_repl[src_tbl]                       # [nb_l, Eb, D]
+        slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+        onehot = ((slot_tbl[..., None] == slots) & valid_tbl[..., None]).astype(state_repl.dtype)
+        return jnp.einsum("bes,bed->bsd", onehot, msgs).reshape(-1, dim)
+
+    def half_round(state, aggr_p, gru_p, rev):
+        if rev:
+            nbr_l = blocked_sum_local(state, batch_l["ra_src"], batch_l["ra_slot"], batch_l["ra_valid"])
+            deg_l = batch_l["deg_out"]
+        else:
+            nbr_l = blocked_sum_local(state, batch_l["fa_src"], batch_l["fa_slot"], batch_l["fa_valid"])
+            deg_l = batch_l["deg_in"]
+        msg_l = nbr_l @ aggr_p["w"] + deg_l[:, None] * aggr_p["b"]
+        n_l = msg_l.shape[0]
+        idx = jax.lax.axis_index(axis) * n_l
+        state_l = jax.lax.dynamic_slice_in_dim(state, idx, n_l, axis=0)
+        new_l = gru_cell_apply(gru_p, jnp.concatenate([msg_l, x_feat_l], axis=-1), state_l)
+        if layernorm:
+            new_l = layernorm_apply(params["ln"], new_l)
+        return jax.lax.all_gather(new_l, axis, axis=0).reshape(n, dim)
+
+    for _ in range(num_rounds):
+        state = half_round(state, params["aggr"], params["update"], False)
+        state = half_round(state, params["aggr_r"], params["update_r"], True)
+    return state
+
+
+def make_sharded_forward(cfg: DGConfig, mesh: Mesh, sample_batch, mp_axis: str = "mp"):
+    """Returns jitted fn(params, batch) -> (hs, hf) with within-level
+    sharding over ``mp_axis``. ``sample_batch`` provides the key structure
+    for the sharding specs; batches are normal collate() dicts.
+
+    Divisibility requirements (documented, asserted): N and the blocked-CSR
+    nb axis, and the level-table Ep axis, must divide the mp mesh size.
+    """
+    assert cfg.num_rounds == 1
+    mp = mesh.shape[mp_axis]
+    assert sample_batch["gate"].shape[0] % (128 * mp) == 0, "N must divide mp*128"
+    assert sample_batch["lv_edge_src"].shape[1] % mp == 0, "Ep must divide mp"
+
+    def fwd(params, batch):
+        dtype = jnp.dtype(cfg.compute_dtype)
+        D, T = cfg.dim_hidden, cfg.num_experts
+        gate_l = batch["gate"]                 # local node slice
+        x_feat_l = struct_input(gate_l, cfg, dtype)
+        # full N: local slice size * mesh axis size (static at trace time)
+        n = gate_l.shape[0] * mp
+
+        ex = params["experts"]
+        s = _sharded_struct_tower(params["struct"]["source"], x_feat_l, batch, cfg.s_rounds, cfg.layernorm, n, mp_axis)
+        t = _sharded_struct_tower(params["struct"]["target"], x_feat_l, batch, cfg.t_rounds, cfg.layernorm, n, mp_axis)
+        hs = linear_apply(params["hs_linear"], jnp.concatenate([s, t], axis=-1))  # replicated
+
+        gate_full = jax.lax.all_gather(gate_l, mp_axis, axis=0).reshape(-1)
+        expert = cfg.expert_of_gate[gate_full]
+        e_node = jnp.maximum(expert, 0)
+
+        # per-node query score (replicated; cheap)
+        q = _select_expert(hs @ ex["wq"][:D, :], e_node, T) + ex["bq"][e_node]
+        aq_n = jnp.sum(q * ex["wa_q"][e_node], axis=-1) + ex["ba"][e_node]
+
+        wkv = jnp.concatenate([ex["wk"], ex["wv"]], axis=1)  # [2D, 2TD]
+
+        def level_step(hf, lv):
+            src = lv["edge_src"]               # [Ep_l] local slice
+            dslot = lv["edge_dst_slot"]
+            evalid = lv["edge_valid"]
+            nodes = lv["nodes"]                # replicated [Np]
+            np_ = nodes.shape[0]
+            e_dst = jnp.maximum(expert[nodes], 0)
+            e_edge = e_dst[dslot]
+
+            state_src = jnp.concatenate([hs[src], hf[src]], axis=-1)
+            kv = state_src @ wkv
+            k = _select_expert(kv[:, : T * D], e_edge, T) + ex["bk"][e_edge]
+            v = _select_expert(kv[:, T * D :], e_edge, T) + ex["bv"][e_edge]
+            score = aq_n[nodes][dslot] + jnp.sum(k * ex["wa_k"][e_edge], axis=-1)
+
+            slots = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+            inc = (dslot[:, None] == slots) & evalid[:, None]
+            inc_f = inc.astype(dtype)
+            # cross-shard segment softmax: pmax of maxima, psum of sums
+            smax_l = jnp.max(jnp.where(inc, score[:, None], -1e30), axis=0)
+            smax = jax.lax.pmax(smax_l, mp_axis)
+            score_m = jnp.where(evalid, score, -1e30)
+            shifted = jnp.clip(score_m - smax[dslot], -80.0, 0.0)
+            ex_s = jnp.exp(shifted) * evalid.astype(dtype)
+            denom = jax.lax.psum(ex_s @ inc_f, mp_axis) + 1e-16
+            attn = ex_s / denom[dslot]
+            msg = jax.lax.psum(inc_f.T @ (v * attn[:, None]), mp_axis)  # [Np, D]
+
+            gi = _select_expert(msg @ ex["w_ih"], e_dst, T) + ex["b_ih"][e_dst]
+            gh = ex["b_hh"][e_dst]
+            i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(i_r + h_r)
+            z = jax.nn.sigmoid(i_z + h_z)
+            nw = jnp.tanh(i_n + r * h_n)
+            upd = lv["node_valid"] & (expert[nodes] >= 0)
+            h_new = jnp.where(upd[:, None], (1.0 - z) * nw, 0.0)
+            return hf.at[nodes].set(h_new), None
+
+        lv = {
+            "nodes": batch["lv_nodes"],
+            "node_valid": batch["lv_node_valid"],
+            "edge_src": batch["lv_edge_src"],
+            "edge_dst_slot": batch["lv_edge_dst_slot"],
+            "edge_valid": batch["lv_edge_valid"],
+        }
+        hf = jnp.zeros_like(hs)
+        hf, _ = jax.lax.scan(level_step, hf, lv)
+        return hs, hf
+
+    specs = build_batch_specs(sample_batch, mp_axis)
+    fn = shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def build_batch_specs(batch, mp_axis: str = "mp"):
+    node_sharded = {"gate", "forward_level", "prob", "deg_in", "deg_out"}
+    block_sharded = {"fa_src", "fa_slot", "fa_valid", "ra_src", "ra_slot", "ra_valid"}
+    edge_sharded = {"lv_edge_src", "lv_edge_dst_slot", "lv_edge_valid", "lv_edge_id"}
+    specs = {}
+    for k in batch:
+        if k in node_sharded:
+            specs[k] = P(mp_axis)
+        elif k in block_sharded:
+            specs[k] = P(mp_axis, None)
+        elif k in edge_sharded:
+            specs[k] = P(None, mp_axis)
+        else:
+            specs[k] = P()
+    return specs
