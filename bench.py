@@ -157,8 +157,9 @@ def bench_modality(modality, seed, roundtrip):
             torch.from_numpy(g.tt_dis),
         )
     E_pad = batch1["edge_src"].shape[0]
-    neg_src = jnp.asarray(np.pad(neg[0], (0, E_pad - e)).astype(np.int32))
-    neg_dst = jnp.asarray(np.pad(neg[1], (0, E_pad - e), constant_values=1).astype(np.int32))
+    inv = np.asarray(batch1["node_inv"])  # map to level-major renumbering
+    neg_src = jnp.asarray(np.pad(inv[neg[0]], (0, E_pad - e)).astype(np.int32))
+    neg_dst = jnp.asarray(np.pad(inv[neg[1]], (0, E_pad - e), constant_values=1).astype(np.int32))
     rc_j, _ = losses.recon_loss(params, hs_j, batch1, None, neg_edges=(neg_src, neg_dst))
     pl_j, _ = losses.prob_loss(params, state, hf_j, batch1, train=False, rng=None)
     fl_j = losses.func_loss(hf_j, batch1)

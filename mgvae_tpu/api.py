@@ -98,9 +98,36 @@ class Model:
             self._rng, rng = jax.random.split(self._rng)
         hs, hf, aux = self._fwd(self.params, batch, rng)
         self._last_aux = aux
+        # undo the batcher's level-major renumbering: row i = input node i
+        if "node_inv" in batch:
+            hs, hf = hs[batch["node_inv"]], hf[batch["node_inv"]]
         if crop is not None:
             hs, hf = hs[:crop], hf[:crop]
         return hs, hf
+
+    def encode_many(self, graphs, batch_size: int = 16):
+        """Batch-extract embeddings for many circuits: buckets by collated
+        shape to minimize recompiles, returns per-graph (hs, hf) numpy pairs
+        in input order — the production serving path."""
+        import numpy as np
+
+        out = [None] * len(graphs)
+        for start in range(0, len(graphs), batch_size):
+            chunk = graphs[start : start + batch_size]
+            batch = jax.tree.map(jnp.asarray, collate(chunk))
+            rng = None
+            if self.cfg.variational:
+                self._rng, rng = jax.random.split(self._rng)
+            hs, hf, _ = self._fwd(self.params, batch, rng)
+            inv = np.asarray(batch["node_inv"])
+            hs = np.asarray(hs)[inv]
+            hf = np.asarray(hf)[inv]
+            off = 0
+            for i, g in enumerate(chunk):
+                n = g.num_nodes
+                out[start + i] = (hs[off : off + n], hf[off : off + n])
+                off += n
+        return out
 
     def pred_prob(self, hf):
         """Probability readout (eval mode, running BN stats)."""

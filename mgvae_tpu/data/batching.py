@@ -75,6 +75,25 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
     tt_dis = np.concatenate([g.tt_dis for g in graphs]) if tt_pairs.size else np.zeros(0, np.float32)
     p = tt_pairs.shape[1]
 
+    # ---- level-major renumbering -----------------------------------------
+    # Nodes are reordered so each forward level occupies a CONTIGUOUS id
+    # range. Consequences the device code exploits: (a) a level's state
+    # update is a dense row-slice write instead of a scatter; (b) all
+    # message sources of level l have ids < level_start[l], so gathers can
+    # skip everything past that prefix. ``node_perm`` maps new->original ids
+    # (the public API uses it to return embeddings in input order).
+    node_perm = np.argsort(fwd, kind="stable").astype(np.int64)  # new -> orig
+    inv_perm = np.empty(n, dtype=np.int64)
+    inv_perm[node_perm] = np.arange(n)
+    gate = gate[node_perm]
+    prob = prob[node_perm]
+    graph_id = graph_id[node_perm]
+    fwd = fwd[node_perm]
+    if e:
+        edge = inv_perm[edge]
+    if p:
+        tt_pairs = inv_perm[tt_pairs]
+
     # ---- level tables -------------------------------------------------
     max_level = int(fwd.max()) if n else 0  # update levels are 1..max_level
     lv_real = max_level
@@ -103,7 +122,13 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
     )
     dump = n  # first padding node
 
+    perm_pad = np.arange(N, dtype=np.int32)
+    perm_pad[:n] = node_perm
+    inv_pad = np.arange(N, dtype=np.int32)
+    inv_pad[:n] = inv_perm
     out = {
+        "node_perm": perm_pad,   # new id -> original id (padding: identity)
+        "node_inv": inv_pad,     # original id -> new id
         "gate": _pad(gate.astype(np.int32), N),
         "node_valid": _mask(n, N),
         "forward_level": _pad(fwd, N),
@@ -131,10 +156,12 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
 
     # vectorized fill: rank-within-level for nodes and edges (no python loop)
     slot_of = np.zeros(N, dtype=np.int32)
+    lv_start = np.full(L, n, dtype=np.int32)  # first node id of each level
     if lv_real:
         upd_nodes = node_order[int(lv_counts[0]) :]          # sorted by level
         lv_of_node = fwd[upd_nodes].astype(np.int64)
         starts = np.concatenate([[0], np.cumsum(lv_counts[1:])])
+        lv_start[:lv_real] = (int(lv_counts[0]) + starts[:lv_real]).astype(np.int32)
         rank = np.arange(len(upd_nodes)) - starts[lv_of_node - 1]
         lv_nodes[lv_of_node - 1, rank] = upd_nodes
         lv_node_valid[lv_of_node - 1, rank] = True
@@ -155,6 +182,7 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
         lv_edge_dst_slot=lv_edge_dst_slot,
         lv_edge_valid=lv_edge_valid,
         lv_edge_id=lv_edge_id,
+        lv_start=lv_start,
     )
 
     # ---- blocked-CSR whole-graph aggregation tables ----------------------
@@ -260,7 +288,11 @@ def _pad_batch_to(batch: dict, shapes: dict) -> dict:
             out[k] = v
             continue
         pad = [(0, t - s) for s, t in zip(v.shape, tgt)]
-        if k in _PAD_DUMP:
+        if k in ("node_perm", "node_inv"):
+            ext = np.arange(v.shape[0], tgt[0], dtype=v.dtype)
+            out[k] = np.concatenate([v, ext])
+            continue
+        if k in _PAD_DUMP or k == "lv_start":
             fill = dump
         elif k in _PAD_LASTE:
             fill = shapes["edge_src"][0] - 1

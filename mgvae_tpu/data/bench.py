@@ -78,3 +78,15 @@ class BenchParser:
         )
         g = build_graph(circuit_name, np.asarray(gates, dtype=np.int32), edge_index)
         return g
+
+
+def read_file(file_name):
+    """API-parity helper (circuit_utils.py:11-14)."""
+    with open(file_name) as f:
+        return f.readlines()
+
+
+def parse_bench(file, gate_to_index=None):
+    """API-parity wrapper over BenchParser (circuit_utils.py:1047)."""
+    parser = BenchParser(gate_to_index)
+    return parser.read_bench(file)

@@ -90,7 +90,10 @@ def fused_level_scan(
 
     # feed index tables as [L, W, 1] so in-kernel values are 2D columns
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
-    lv_nodes, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
+    lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
+    # level-major renumbering: level i's nodes start at lv_start[i] and all
+    # of its message sources have smaller ids -> chunk loops can skip work
+    lv_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1).astype(jnp.int32)
 
     n_chunk = _pick_chunk(Ep, N)
     kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk)
@@ -100,6 +103,7 @@ def fused_level_scan(
         kernel,
         grid=(L,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # lv_start [L]
             row_spec((1, Ep, PW)),
             row_spec((1, Ep, 1)),
             row_spec((1, Ep, 1)),
@@ -112,7 +116,7 @@ def fused_level_scan(
         out_specs=pl.BlockSpec((N, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, D), pack_lv.dtype),
         interpret=interpret,
-    )(pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+    )(lv_start, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes_c, lv_upd, lv_e_n,
       wkv_hf, w_ih, b_ih, b_hh, wa_k)
 
 
@@ -126,12 +130,13 @@ def _select(stacked, expert_onehots, T, width):
 
 
 def _level_kernel(
-    pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
+    start_ref, pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     hf_ref,
     *, N, D, T, Ep, Np, n_chunk,
 ):
     i = pl.program_id(0)
+    start = start_ref[i]   # first node id of this level (N on padded levels)
 
     @pl.when(i == 0)
     def _():
@@ -148,14 +153,25 @@ def _level_kernel(
     evf = evalid.astype(f32)
 
     # ---- gather hf[src] via chunked one-hot matmuls ----------------------
-    hf_src = jnp.zeros((Ep, D), f32)
-    for c in range(0, N, n_chunk):
-        ch = min(n_chunk, N - c)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
-        onehot = (src == cols).astype(f32)    # [Ep, ch]
-        hf_src = hf_src + jnp.dot(
-            onehot, hf_ref[pl.ds(c, ch), :], preferred_element_type=f32
-        )
+    # all sources sit below this level's start id: skip chunks past it
+    def gather_src(hf_src_acc):
+        for c in range(0, N, n_chunk):
+            ch = min(n_chunk, N - c)
+
+            @pl.when(c < start)
+            def _():
+                cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
+                onehot = (src == cols).astype(f32)
+                hf_src_acc[:] += jnp.dot(
+                    onehot, hf_ref[pl.ds(c, ch), :], preferred_element_type=f32
+                )
+
+    def body_gather(hf_src_acc):
+        hf_src_acc[:] = jnp.zeros_like(hf_src_acc)
+        gather_src(hf_src_acc)
+        return hf_src_acc[:]
+
+    hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
 
     # ---- hf-side key/value + expert select --------------------------------
     kv = jnp.dot(hf_src, wkv_hf_ref[:], preferred_element_type=f32)  # [Ep, 2TD]
@@ -204,14 +220,19 @@ def _level_kernel(
     h_new = (1.0 - z) * nw * upd
 
     # ---- scatter-add back into hf (rows are fresh: previously zero) -------
+    # this level's nodes are contiguous in [start, start+Np): only chunks
+    # overlapping that range need the one-hot matmul
     nodes = nodes_ref[0]                      # [Np, 1]
     for c in range(0, N, n_chunk):
         ch = min(n_chunk, N - c)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
-        onehot = (nodes == cols).astype(f32) * upd                     # [Np, ch]
-        hf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
-            onehot, h_new, dimension_numbers=_DN_T, preferred_element_type=f32
-        )
+
+        @pl.when((start < c + ch) & (start + Np > c))
+        def _():
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
+            onehot = (nodes == cols).astype(f32) * upd                 # [Np, ch]
+            hf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
+                onehot, h_new, dimension_numbers=_DN_T, preferred_element_type=f32
+            )
 
 
 # ===========================================================================
@@ -234,10 +255,12 @@ def fused_level_scan_bwd(
     N = num_nodes
 
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
-    lv_nodes, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
+    lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
+    lv_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1).astype(jnp.int32)
+    lv_nodes = lv_nodes_c
 
     n_chunk = _pick_chunk(Ep, N)
-    kernel = functools.partial(_level_bwd_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk)
+    kernel = functools.partial(_level_bwd_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk, L=L)
     rev = lambda blk: pl.BlockSpec(blk, lambda i, L=L: (L - 1 - i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -246,6 +269,7 @@ def fused_level_scan_bwd(
         kernel,
         grid=(L,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [L]
             full,                 # ghf_in
             full,                 # hf_final
             rev((1, Ep, PW)),     # pack
@@ -272,19 +296,20 @@ def fused_level_scan_bwd(
             jax.ShapeDtypeStruct((N, D), f32),
         ),
         interpret=interpret,
-    )(ghf_in, hf_final, pack_lv, lv_src, lv_dslot, lv_evalid,
+    )(lv_start, ghf_in, hf_final, pack_lv, lv_src, lv_dslot, lv_evalid,
       lv_nodes, lv_upd, lv_e_n, wkv_hf, w_ih, b_ih, b_hh, wa_k)
     return out[:6]
 
 
 def _level_bwd_kernel(
-    ghf_in_ref, hf_ref,
+    start_ref, ghf_in_ref, hf_ref,
     pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     dpack_ref, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref, ghf_ref,
-    *, N, D, T, Ep, Np, n_chunk,
+    *, N, D, T, Ep, Np, n_chunk, L,
 ):
     i = pl.program_id(0)
+    start = start_ref[L - 1 - i]
 
     @pl.when(i == 0)
     def _():
@@ -309,12 +334,19 @@ def _level_bwd_kernel(
     e_n = e_n_ref[0]
 
     # ---------- recompute forward intermediates from final hf -------------
-    hf_src = jnp.zeros((Ep, D), f32)
-    for c in range(0, N, n_chunk):
-        ch = min(n_chunk, N - c)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
-        onehot = (src == cols).astype(f32)
-        hf_src = hf_src + jnp.dot(onehot, hf_ref[pl.ds(c, ch), :], preferred_element_type=f32)
+    def body_gather(acc_ref):
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        for c in range(0, N, n_chunk):
+            ch = min(n_chunk, N - c)
+
+            @pl.when(c < start)
+            def _():
+                cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
+                onehot = (src == cols).astype(f32)
+                acc_ref[:] += jnp.dot(onehot, hf_ref[pl.ds(c, ch), :], preferred_element_type=f32)
+        return acc_ref[:]
+
+    hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
     kv = jnp.dot(hf_src, wkv_hf_ref[:], preferred_element_type=f32)
     eo_edge = [(e_edge == t).astype(f32) for t in range(T)]
     khf = _select(kv[:, : T * D], eo_edge, T, D)
@@ -351,13 +383,19 @@ def _level_bwd_kernel(
     nw = jnp.tanh(gi[:, 2 * D :] + r * bh[:, 2 * D :])
 
     # ---------- cotangent of h_new = (1-z)*nw*upd --------------------------
-    g = jnp.zeros((Np, D), f32)
-    for c in range(0, N, n_chunk):
-        ch = min(n_chunk, N - c)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
-        onehot = (nodes == cols).astype(f32)
-        g = g + jnp.dot(onehot, ghf_ref[pl.ds(c, ch), :], preferred_element_type=f32)
-    g = g * upd
+    def body_g(acc_ref):
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        for c in range(0, N, n_chunk):
+            ch = min(n_chunk, N - c)
+
+            @pl.when((start < c + ch) & (start + Np > c))
+            def _():
+                cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
+                onehot = (nodes == cols).astype(f32)
+                acc_ref[:] += jnp.dot(onehot, ghf_ref[pl.ds(c, ch), :], preferred_element_type=f32)
+        return acc_ref[:]
+
+    g = pl.run_scoped(body_g, pltpu.VMEM((Np, D), f32)) * upd
 
     dnw = g * (1.0 - z)
     dz = -g * nw
@@ -408,10 +446,13 @@ def _level_bwd_kernel(
 
     for c in range(0, N, n_chunk):
         ch = min(n_chunk, N - c)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
-        onehot = (src == cols).astype(f32) * evf
-        ghf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
-            onehot, dhf_src, dimension_numbers=_DN_T, preferred_element_type=f32)
+
+        @pl.when(c < start)
+        def _():
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
+            onehot = (src == cols).astype(f32) * evf
+            ghf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
+                onehot, dhf_src, dimension_numbers=_DN_T, preferred_element_type=f32)
 
 
 # ---------------------------------------------------------------------------

@@ -4,6 +4,7 @@ import numpy as np
 import torch
 
 import deepgate
+from mgvae_tpu.data.synthetic import random_circuit
 import mgvae_tpu
 from mgvae_tpu.data.synthetic import random_circuit
 
@@ -80,3 +81,15 @@ def test_module_prefix_stripped(tmp_path):
     params, state = params_from_torch_state(sd, cfg)
     w = ref.state_dict()["hs_linear.weight"].numpy()
     np.testing.assert_allclose(np.asarray(params["hs_linear"]["w"]), w.T, rtol=1e-6)
+
+
+def test_encode_many_matches_single():
+    rng = np.random.default_rng(5)
+    graphs = [random_circuit(rng, "mig", num_inputs=4, num_gates=16 + 8 * (i % 3)) for i in range(7)]
+    model = mgvae_tpu.Model(modality="mig", dim_hidden=32)
+    outs = model.encode_many(graphs, batch_size=3)
+    assert len(outs) == 7
+    for g, (hs, hf) in zip(graphs, outs):
+        hs1, hf1 = model(g)
+        np.testing.assert_allclose(hs, np.asarray(hs1), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(hf, np.asarray(hf1), rtol=1e-5, atol=1e-5)

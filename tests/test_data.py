@@ -105,8 +105,10 @@ def test_collate_offsets_tt_pairs():
     batch = collate(graphs)
     p = int(batch["n_tt"])
     assert p == 10
-    # pairs of the second graph are offset past the first graph's nodes
-    assert batch["tt_pair_a"][5:10].min() >= graphs[0].num_nodes
+    # pairs of the second graph map (through the level-major renumbering)
+    # back to original ids offset past the first graph's nodes
+    orig_a = batch["node_perm"][batch["tt_pair_a"][5:10]]
+    assert orig_a.min() >= graphs[0].num_nodes
 
 
 def test_synthetic_prob_in_range():

@@ -43,10 +43,12 @@ def test_loss_parity_mig():
             torch.from_numpy(g.tt_pair_index), torch.from_numpy(g.tt_dis),
         )
 
-    # ours (explicit negs padded to the batch's E with the same mask)
+    # ours (explicit negs, mapped through the level-major renumbering,
+    # padded to the batch's E with the same mask)
+    inv = np.asarray(batch["node_inv"])
     E_pad = batch["edge_src"].shape[0]
-    neg_src = jnp.asarray(np.pad(neg[0], (0, E_pad - e)).astype(np.int32))
-    neg_dst = jnp.asarray(np.pad(neg[1], (0, E_pad - e), constant_values=1).astype(np.int32))
+    neg_src = jnp.asarray(np.pad(inv[neg[0]], (0, E_pad - e)).astype(np.int32))
+    neg_dst = jnp.asarray(np.pad(inv[neg[1]], (0, E_pad - e), constant_values=1).astype(np.int32))
     rc_j, metrics = losses.recon_loss(params, hs_j, batch, None, neg_edges=(neg_src, neg_dst))
     pl_j, _ = losses.prob_loss(params, state, hf_j, batch, train=False, rng=None)
     fl_j = losses.func_loss(hf_j, batch)

@@ -36,9 +36,10 @@ def test_forward_parity_single_graph(modality, layernorm):
     params, _ = params_from_torch_state(ref.state_dict(), cfg)
     batch = _jb(collate([g]))
     hs_j, hf_j, _ = forward(params, batch, cfg)
+    inv = np.asarray(batch["node_inv"])
     n = g.num_nodes
-    np.testing.assert_allclose(np.asarray(hs_j)[:n], hs_t.numpy(), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(hf_j)[:n], hf_t.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hs_j)[inv][:n], hs_t.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hf_j)[inv][:n], hf_t.numpy(), rtol=1e-4, atol=1e-4)
 
 
 def test_forward_parity_batched_disjoint_union():
@@ -51,6 +52,8 @@ def test_forward_parity_batched_disjoint_union():
     params, _ = params_from_torch_state(ref.state_dict(), cfg)
     batch = _jb(collate(graphs))
     hs_j, hf_j, _ = forward(params, batch, cfg)
+    inv = np.asarray(batch["node_inv"])
+    hs_j, hf_j = np.asarray(hs_j)[inv], np.asarray(hf_j)[inv]
     off = 0
     for g in graphs:
         with torch.no_grad():
@@ -60,8 +63,8 @@ def test_forward_parity_batched_disjoint_union():
                 torch.from_numpy(g.forward_level).long(),
             )
         n = g.num_nodes
-        np.testing.assert_allclose(np.asarray(hs_j)[off : off + n], hs_t.numpy(), rtol=1e-4, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(hf_j)[off : off + n], hf_t.numpy(), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(hs_j[off : off + n], hs_t.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(hf_j[off : off + n], hf_t.numpy(), rtol=1e-4, atol=1e-4)
         off += n
 
 
@@ -95,5 +98,6 @@ def test_forward_parity_num_rounds_2():
         )
     batch = _jb(collate([g]))
     hs_j, hf_j, _ = forward(params, batch, cfg)
+    inv = np.asarray(batch["node_inv"])
     n = g.num_nodes
-    np.testing.assert_allclose(np.asarray(hf_j)[:n], hf_t.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hf_j)[inv][:n], hf_t.numpy(), rtol=1e-4, atol=1e-4)
