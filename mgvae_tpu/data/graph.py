@@ -124,3 +124,29 @@ def build_graph(
         tt_pair_index=np.asarray(tt_pair_index, dtype=np.int64).reshape(2, -1),
         tt_dis=np.asarray(tt_dis, dtype=np.float32).reshape(-1),
     )
+
+
+def add_edge_attr(num_edge: int, ehs: int, ll_diff=1):
+    """Sinusoidal positional edge attributes (utils/data_utils.py:101-112):
+    even dims sin, odd dims cos of ll_diff / 10000^(2i/ehs)."""
+    import math
+
+    out = np.zeros((num_edge, ehs), dtype=np.float32)
+    for i in range(0, ehs, 2):
+        out[:, i] = math.sin(ll_diff / (10000 ** ((2 * i) / ehs)))
+        if i + 1 < ehs:
+            out[:, i + 1] = math.cos(ll_diff / (10000 ** ((2 * (i + 1)) / ehs)))
+    return out
+
+
+def one_hot(idx, length: int):
+    """utils/data_utils.py:67-73 parity."""
+    idx = np.asarray(idx, dtype=np.int64).reshape(-1)
+    out = np.zeros((len(idx), length), dtype=np.float32)
+    out[np.arange(len(idx)), idx] = 1.0
+    return out
+
+
+def construct_node_feature(x, num_gate_types: int):
+    """utils/data_utils.py:77-85 parity: one-hot of gate-id column 1."""
+    return one_hot(np.asarray(x)[:, 1].astype(np.int64), num_gate_types)

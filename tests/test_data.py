@@ -117,3 +117,50 @@ def test_synthetic_prob_in_range():
     assert (g.prob >= 0).all() and (g.prob <= 1).all()
     # PIs should have prob approximately 0.5 (random 64-bit patterns)
     assert abs(g.prob[g.PIs].mean() - 0.5) < 0.2
+
+
+def test_edge_split_functions():
+    from mgvae_tpu.data.edge_split import (
+        biased_train_test_split_edges,
+        bidirectional_train_test_split_edges,
+        general_train_test_split_edges,
+    )
+
+    rng = np.random.default_rng(7)
+    g = random_circuit(rng, "mig", num_inputs=5, num_gates=40)
+    out = general_train_test_split_edges(g.edge_index, g.num_nodes, 0.1, 0.2, rng=rng)
+    e = g.num_edges
+    assert out["train_pos_edge_index"].shape[1] + out["val_pos_edge_index"].shape[1] + out["test_pos_edge_index"].shape[1] == e
+    # negatives are not existing edges
+    existing = set(map(tuple, g.edge_index.T.tolist()))
+    for split in ("val", "test"):
+        for u, v in out[f"{split}_neg_edge_index"].T.tolist():
+            assert (u, v) not in existing and u != v
+    # ratios-0 case degenerates to a shuffle of all edges (quirk 7)
+    out0 = general_train_test_split_edges(g.edge_index, g.num_nodes, rng=rng)
+    assert out0["train_pos_edge_index"].shape[1] == e
+    biased_train_test_split_edges(g.edge_index, g.num_nodes, rng=rng)
+    bidirectional_train_test_split_edges(g.edge_index, g.num_nodes, rng=rng)
+
+
+def test_data_utils_parity_helpers():
+    from mgvae_tpu.data.graph import add_edge_attr, construct_node_feature, one_hot
+
+    oh = one_hot([0, 2, 1], 3)
+    np.testing.assert_allclose(oh, np.eye(3)[[0, 2, 1]])
+    x = np.array([[0, 1], [1, 4]])
+    np.testing.assert_allclose(construct_node_feature(x, 6), np.eye(6)[[1, 4]])
+    ea = add_edge_attr(3, 8, ll_diff=2)
+    assert ea.shape == (3, 8)
+    import math
+
+    np.testing.assert_allclose(ea[0, 0], math.sin(2.0), rtol=1e-6)
+
+
+def test_set_seed():
+    from mgvae_tpu.utils.seed import set_seed
+
+    set_seed(3)
+    a = np.random.rand(4)
+    set_seed(3)
+    np.testing.assert_allclose(a, np.random.rand(4))
