@@ -543,7 +543,9 @@ def fused_level_scan_hbm(
     N = num_nodes
 
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
-    lv_nodes, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
+    lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
+    lv_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1).astype(jnp.int32)
+    lv_nodes = lv_nodes_c
 
     n_chunk = _pick_chunk_divisor(Ep, N)
     DW = _round_up(D, LANE)   # hf lane-padded: DMA cannot slice a <128 lane dim
@@ -556,6 +558,7 @@ def fused_level_scan_hbm(
         kernel,
         grid=(L,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [L]
             row_spec((1, Ep, PW)),
             row_spec((1, Ep, 1)),
             row_spec((1, Ep, 1)),
@@ -572,18 +575,19 @@ def fused_level_scan_hbm(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+    )(lv_start, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
       wkv_hf, w_ih, b_ih, b_hh, wa_k)[:, :D]
 
 
 def _level_kernel_hbm(
-    pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
+    start_ref, pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     hf_ref,                     # ANY/HBM [N, DW] (lane-padded)
     chunk_v, dma_sem,
     *, N, D, DW, T, Ep, Np, n_chunk,
 ):
     i = pl.program_id(0)
+    start = start_ref[i]
     f32 = pack_ref.dtype
 
     # n_chunk divides N exactly: every DMA moves the full scratch buffer
@@ -612,13 +616,21 @@ def _level_kernel_hbm(
     evalid = evalid_ref[0] > 0
     evf = evalid.astype(f32)
 
-    # gather hf[src]: stream chunks from HBM
-    hf_src = jnp.zeros((Ep, D), f32)
-    for c in range(0, N, n_chunk):
-        load_chunk(c)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
-        onehot = (src == cols).astype(f32)
-        hf_src = hf_src + jnp.dot(onehot, chunk_v[:], preferred_element_type=f32)[:, :D]
+    # gather hf[src]: stream chunks from HBM; level-major renumbering means
+    # all sources sit below ``start`` -> skip later chunks (and their DMAs)
+    def body_gather(acc_ref):
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        for c in range(0, N, n_chunk):
+
+            @pl.when(c < start)
+            def _():
+                load_chunk(c)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
+                onehot = (src == cols).astype(f32)
+                acc_ref[:] += jnp.dot(onehot, chunk_v[:], preferred_element_type=f32)[:, :D]
+        return acc_ref[:]
+
+    hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
 
     kv = jnp.dot(hf_src, wkv_hf_ref[:], preferred_element_type=f32)
     eo_edge = [(e_edge == t).astype(f32) for t in range(T)]
@@ -661,10 +673,13 @@ def _level_kernel_hbm(
     nodes = nodes_ref[0]
     h_new_w = jnp.concatenate([h_new, jnp.zeros((Np, DW - D), f32)], axis=1) if DW > D else h_new
     for c in range(0, N, n_chunk):
-        load_chunk(c)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (Np, n_chunk), 1) + c
-        onehot = (nodes == cols).astype(f32) * upd
-        chunk_v[:] += jax.lax.dot_general(
-            onehot, h_new_w, dimension_numbers=_DN_T, preferred_element_type=f32
-        )
-        store_chunk(c)
+
+        @pl.when((start < c + n_chunk) & (start + Np > c))
+        def _():
+            load_chunk(c)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Np, n_chunk), 1) + c
+            onehot = (nodes == cols).astype(f32) * upd
+            chunk_v[:] += jax.lax.dot_general(
+                onehot, h_new_w, dimension_numbers=_DN_T, preferred_element_type=f32
+            )
+            store_chunk(c)

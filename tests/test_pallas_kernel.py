@@ -55,3 +55,20 @@ def test_pallas_vjp_matches_xla_autodiff():
     b, _ = jax.flatten_util.ravel_pytree(g_p)
     scale = float(jnp.abs(a).max())
     assert float(jnp.abs(a - b).max()) < 1e-4 * max(scale, 1.0)
+
+
+def test_deep_chain_circuit():
+    """Depth-200 NOT chain: exercises long scan + L bucketing end to end."""
+    from mgvae_tpu.data.graph import build_graph
+
+    gate = np.r_[0, np.full(200, 2)].astype(np.int32)
+    edges = np.stack([np.arange(200), np.arange(1, 201)])
+    g = build_graph("chain", gate, edges)
+    assert g.num_levels == 201
+    cfg = DGConfig(modality="aig", dim_hidden=32, s_rounds=1, t_rounds=1)
+    params, _ = init_params(jax.random.PRNGKey(0), cfg)
+    batch = jax.tree.map(jnp.asarray, collate([g]))
+    hf0 = forward(params, batch, cfg)[1]
+    hf1 = forward(params, batch, cfg, use_pallas=True, pallas_interpret=True)[1]
+    assert np.isfinite(np.asarray(hf0)).all()
+    np.testing.assert_allclose(np.asarray(hf1), np.asarray(hf0), rtol=1e-4, atol=1e-5)
