@@ -62,12 +62,15 @@ class Model:
         def _fwd_fn(p, b, r):
             use_pallas = False
             if jax.default_backend() == "tpu" and cfg.num_rounds == 1:
-                # VMEM-resident kernel only: the HBM-streaming variant is
-                # currently DMA-latency-bound and loses to the XLA scan at
-                # large batch (explicit use_pallas=True still selects it).
-                from .ops.pallas.level_kernel import kernel_fits
+                # VMEM-resident kernel for small batches; the HBM-streaming
+                # variant (prefix-guarded DMAs) for large ones — both beat
+                # the XLA scan for inference.
+                from .ops.pallas.level_kernel import kernel_fits, kernel_fits_hbm
 
                 use_pallas = kernel_fits(
+                    b["gate"].shape[0], b["lv_edge_src"].shape[1],
+                    b["lv_nodes"].shape[1], cfg.dim_hidden,
+                ) or kernel_fits_hbm(
                     b["gate"].shape[0], b["lv_edge_src"].shape[1],
                     b["lv_nodes"].shape[1], cfg.dim_hidden,
                 )
