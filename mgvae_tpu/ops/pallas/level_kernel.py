@@ -571,8 +571,8 @@ def fused_level_scan_hbm(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((N, DW), pack_lv.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n_chunk, DW), pack_lv.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, n_chunk, DW), pack_lv.dtype),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(lv_start, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
@@ -590,20 +590,27 @@ def _level_kernel_hbm(
     start = start_ref[i]
     f32 = pack_ref.dtype
 
-    # n_chunk divides N exactly: every DMA moves the full scratch buffer
-    def load_chunk(c):
-        cp = pltpu.make_async_copy(hf_ref.at[pl.ds(c, n_chunk), :], chunk_v, dma_sem)
+    # n_chunk divides N exactly: every DMA moves one full buffer slot
+    def dma_in(c, slot):
+        return pltpu.make_async_copy(
+            hf_ref.at[pl.ds(c, n_chunk), :], chunk_v.at[slot], dma_sem.at[slot]
+        )
+
+    def load_chunk(c, slot=0):
+        cp = dma_in(c, slot)
         cp.start()
         cp.wait()
 
-    def store_chunk(c):
-        cp = pltpu.make_async_copy(chunk_v, hf_ref.at[pl.ds(c, n_chunk), :], dma_sem)
+    def store_chunk(c, slot=0):
+        cp = pltpu.make_async_copy(
+            chunk_v.at[slot], hf_ref.at[pl.ds(c, n_chunk), :], dma_sem.at[slot]
+        )
         cp.start()
         cp.wait()
 
     @pl.when(i == 0)
     def _():
-        chunk_v[:] = jnp.zeros_like(chunk_v)
+        chunk_v[0] = jnp.zeros_like(chunk_v[0])
         for c in range(0, N, n_chunk):
             store_chunk(c)
 
@@ -616,18 +623,32 @@ def _level_kernel_hbm(
     evalid = evalid_ref[0] > 0
     evf = evalid.astype(f32)
 
-    # gather hf[src]: stream chunks from HBM; level-major renumbering means
-    # all sources sit below ``start`` -> skip later chunks (and their DMAs)
+    # gather hf[src]: stream chunks from HBM, double-buffered; level-major
+    # renumbering means all sources sit below ``start`` -> skip later chunks
+    chunks = list(range(0, N, n_chunk))
+
     def body_gather(acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        for c in range(0, N, n_chunk):
+
+        @pl.when(0 < start)
+        def _():
+            dma_in(chunks[0], 0).start()
+
+        for idx, c in enumerate(chunks):
+            slot = idx % 2
 
             @pl.when(c < start)
-            def _():
-                load_chunk(c)
+            def _(c=c, slot=slot, idx=idx):
+                if idx + 1 < len(chunks):
+                    nxt = chunks[idx + 1]
+
+                    @pl.when(nxt < start)
+                    def _():
+                        dma_in(nxt, 1 - slot).start()
+                dma_in(c, slot).wait()
                 cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
                 onehot = (src == cols).astype(f32)
-                acc_ref[:] += jnp.dot(onehot, chunk_v[:], preferred_element_type=f32)[:, :D]
+                acc_ref[:] += jnp.dot(onehot, chunk_v[slot], preferred_element_type=f32)[:, :D]
         return acc_ref[:]
 
     hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
