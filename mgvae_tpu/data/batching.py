@@ -44,7 +44,7 @@ def bucket(x: int, minimum: int = 8) -> int:
     raise AssertionError
 
 
-def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
+def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1) -> dict:
     """Disjoint-union + pad a list of circuits into one static-shape batch.
 
     Returns a dict of numpy arrays (see keys below); convert with
@@ -52,6 +52,11 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
 
     ``dims``: optional {'N','E','P','L','NP','EP'} overrides so several
     shards (one per device) can share identical padded shapes.
+
+    ``mp``: within-level model-parallel degree hint (parallel/sharded.py).
+    Rounds N up to a multiple of mp*BLOCK_D and the level-edge axis EP up to
+    a multiple of mp so the sharded forward's divisibility requirements hold
+    by construction.
     """
     assert graphs, "empty batch"
     n_graphs = len(graphs)
@@ -111,12 +116,12 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None) -> dict:
     dims = dims or {}
     # N is a multiple of the dst-block size so whole-graph aggregation can
     # run as blocked dense matmuls (see agg_* tables below).
-    N = dims.get("N", _round_up(bucket(n + 1), BLOCK_D))
+    N = dims.get("N", _round_up(bucket(n + 1), BLOCK_D * mp))
     E = dims.get("E", bucket(e))
     P = dims.get("P", bucket(p))
     L = dims.get("L", bucket(max(lv_real, 1)))
     NP = dims.get("NP", bucket(max(np_real, 1)))
-    EP = dims.get("EP", bucket(max(ep_real, 1)))
+    EP = dims.get("EP", _round_up(bucket(max(ep_real, 1)), mp))
     assert N > n and E >= e and P >= p and L >= lv_real and NP >= np_real and EP >= ep_real, (
         "dims overrides too small for this shard"
     )
@@ -302,11 +307,12 @@ def _pad_batch_to(batch: dict, shapes: dict) -> dict:
     return out
 
 
-def collate_shards(shards: list[list[CircuitGraph]]) -> dict:
+def collate_shards(shards: list[list[CircuitGraph]], mp: int = 1) -> dict:
     """Collate one shard per device with COMMON padded dims and stack a
     leading 'dp' axis — the host-side half of shard_map data parallelism
-    (the DistributedSampler equivalent, trainer.py:179-192)."""
-    batches = [collate(s) for s in shards]
+    (the DistributedSampler equivalent, trainer.py:179-192). ``mp`` passes
+    the model-parallel divisibility hint through to collate()."""
+    batches = [collate(s, mp=mp) for s in shards]
     shapes = {
         k: tuple(max(b[k].shape[i] for b in batches) for i in range(b0[k].ndim))
         if isinstance((b0 := batches[0])[k], np.ndarray) else None
@@ -315,6 +321,160 @@ def collate_shards(shards: list[list[CircuitGraph]]) -> dict:
     shapes = {k: v for k, v in shapes.items() if v is not None}
     batches = [_pad_batch_to(b, shapes) for b in batches]
     return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
+def collate_chunked(graphs: list[CircuitGraph], num_chunks: int) -> dict:
+    """Partition graphs into ``num_chunks`` balanced groups, collate each
+    with COMMON padded dims, and merge into ONE batch whose node space is the
+    concatenation of the chunks (chunk k occupies rows
+    [k*N_sub, (k+1)*N_sub), keeping its own padding tail and dump slot).
+
+    Why: the fused Pallas level kernel (ops/pallas/level_kernel.py) holds hf
+    resident in VMEM, which caps the node count per kernel instance. Graphs
+    are disjoint, so a large batch is exactly C independent sub-batches: the
+    kernel runs a (chunk, level) grid with the VMEM footprint of ONE chunk,
+    while every loss stays global (masked over the concatenated space), so
+    training semantics match the unchunked batch bit-for-bit.
+
+    Layout contract (consumed by models/dg_ae.forward and train/losses):
+      * node/edge/tt arrays are GLOBAL: per-chunk local ids + k*N_sub (or
+        k*E_sub for lv_edge_id) offsets; blocked-CSR tables merge the same
+        way, so the struct encoder needs no changes at all;
+      * level tables keep LOCAL node ids with a leading [C, L] axis — the
+        kernel wants chunk-local ids, the XLA scan adds the offsets;
+      * ``chunk_counts`` [C] carries per-chunk valid-node counts so negative
+        sampling can skip the interior padding tails.
+    """
+    assert graphs and num_chunks >= 1
+    if num_chunks == 1:
+        return collate(graphs)
+    assert len(graphs) >= num_chunks, "fewer graphs than chunks"
+    # greedy balance by node count, preserving determinism
+    order = sorted(range(len(graphs)), key=lambda i: -graphs[i].num_nodes)
+    bins: list[list[int]] = [[] for _ in range(num_chunks)]
+    loads = [0] * num_chunks
+    for gi in order:
+        k = loads.index(min(loads))
+        bins[k].append(gi)
+        loads[k] += graphs[gi].num_nodes
+    for b in bins:
+        b.sort()  # input order within a chunk
+
+    batches = [collate([graphs[i] for i in b]) for b in bins]
+    shapes = {
+        k: tuple(max(b[k].shape[i] for b in batches) for i in range(b0[k].ndim))
+        if isinstance((b0 := batches[0])[k], np.ndarray) else None
+        for k in batches[0]
+    }
+    shapes = {k: v for k, v in shapes.items() if v is not None}
+    batches = [_pad_batch_to(b, shapes) for b in batches]
+
+    C = num_chunks
+    N_sub = batches[0]["gate"].shape[0]
+    E_sub = batches[0]["edge_src"].shape[0]
+    nb_sub = batches[0]["fa_src"].shape[0]
+    in_sizes = np.array([g.num_nodes for g in graphs], dtype=np.int64)
+    in_offsets = np.concatenate([[0], np.cumsum(in_sizes)])
+
+    def cat(key):
+        return np.concatenate([b[key] for b in batches])
+
+    def cat_off(key, off):
+        return np.concatenate([b[key] + k * off for k, b in enumerate(batches)])
+
+    def stk(key):
+        return np.stack([b[key] for b in batches])
+
+    out = {
+        "gate": cat("gate"),
+        "node_valid": cat("node_valid"),
+        "forward_level": cat("forward_level"),
+        "prob": cat("prob"),
+        "deg_in": cat("deg_in"),
+        "deg_out": cat("deg_out"),
+        "edge_src": cat_off("edge_src", N_sub),
+        "edge_dst": cat_off("edge_dst", N_sub),
+        "edge_valid": cat("edge_valid"),
+        "tt_pair_a": cat_off("tt_pair_a", N_sub),
+        "tt_pair_b": cat_off("tt_pair_b", N_sub),
+        "tt_valid": cat("tt_valid"),
+        "tt_dis": cat("tt_dis"),
+        "fa_src": cat_off("fa_src", N_sub),
+        "fa_slot": cat("fa_slot"),
+        "fa_valid": cat("fa_valid"),
+        "ra_src": cat_off("ra_src", N_sub),
+        "ra_slot": cat("ra_slot"),
+        "ra_valid": cat("ra_valid"),
+        # level tables: leading [C, L], node ids LOCAL, edge ids GLOBAL
+        "lv_nodes": stk("lv_nodes"),
+        "lv_node_valid": stk("lv_node_valid"),
+        "lv_edge_src": stk("lv_edge_src"),
+        "lv_edge_dst_slot": stk("lv_edge_dst_slot"),
+        "lv_edge_valid": stk("lv_edge_valid"),
+        "lv_edge_id": np.stack([b["lv_edge_id"] + k * E_sub for k, b in enumerate(batches)]),
+        "lv_start": stk("lv_start"),
+        "n_nodes": np.int32(sum(int(b["n_nodes"]) for b in batches)),
+        "n_edges": np.int32(sum(int(b["n_edges"]) for b in batches)),
+        "n_tt": np.int32(sum(int(b["n_tt"]) for b in batches)),
+        "n_graphs": np.int32(len(graphs)),
+        "chunk_counts": np.array([int(b["n_nodes"]) for b in batches], dtype=np.int32),
+    }
+    # graph ids: chunk-local 0..len-1 -> input indices
+    gids = []
+    for k, b in enumerate(batches):
+        lut = np.asarray(bins[k], dtype=np.int32)
+        g = b["graph_id"]
+        gids.append(np.where(g >= 0, lut[np.clip(g, 0, len(lut) - 1)], -1))
+    out["graph_id"] = np.concatenate(gids)
+    # node_perm / node_inv over the GLOBAL original ordering (input graph
+    # order, unpadded): new global row -> original id and back
+    node_perm = np.arange(C * N_sub, dtype=np.int32)
+    node_inv = np.arange(C * N_sub, dtype=np.int32)
+    for k, b in enumerate(batches):
+        n_k = int(b["n_nodes"])
+        orig_to_global = np.concatenate(
+            [in_offsets[g] + np.arange(in_sizes[g]) for g in bins[k]]
+        ).astype(np.int32)
+        node_perm[k * N_sub : k * N_sub + n_k] = orig_to_global[b["node_perm"][:n_k]]
+        node_inv[orig_to_global] = k * N_sub + b["node_inv"][:n_k]
+    out["node_perm"] = node_perm
+    out["node_inv"] = node_inv
+    assert nb_sub * BLOCK_D == N_sub
+    return out
+
+
+def collate_fit(
+    graphs: list[CircuitGraph],
+    max_nodes: int = 8192,
+    max_ep: int = 512,
+    max_np: int = 512,
+) -> dict:
+    """Collate with the smallest chunking whose per-chunk padded dims fit the
+    fused kernel's VMEM gate (ops/pallas/level_kernel.kernel_fits) — C=1
+    (plain collate) when the batch already fits."""
+    b = collate(graphs)
+    if (
+        b["gate"].shape[0] <= max_nodes
+        and b["lv_edge_src"].shape[1] <= max_ep
+        and b["lv_nodes"].shape[1] <= max_np
+    ):
+        return b
+    total = sum(g.num_nodes for g in graphs)
+    biggest = max(g.num_nodes for g in graphs)
+    last = None
+    for c in range(2, len(graphs) + 1):
+        # cheap lower-bound reject before paying for a collate
+        per = max(biggest + 1, (total + c) // c)
+        if _round_up(bucket(per), BLOCK_D) > max_nodes and c < len(graphs):
+            continue
+        last = collate_chunked(graphs, c)
+        if (
+            last["gate"].shape[0] // c <= max_nodes
+            and last["lv_edge_src"].shape[2] <= max_ep
+            and last["lv_nodes"].shape[2] <= max_np
+        ):
+            return last
+    return last if last is not None else b
 
 
 def batch_shape_key(batch: dict) -> tuple:

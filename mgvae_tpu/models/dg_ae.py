@@ -156,6 +156,29 @@ def _select_expert(stacked: jnp.ndarray, expert: jnp.ndarray, T: int) -> jnp.nda
     return jnp.take_along_axis(resh, expert[:, None, None], axis=1)[:, 0, :]
 
 
+_LV_KEYS = ("lv_nodes", "lv_node_valid", "lv_edge_src", "lv_edge_dst_slot",
+            "lv_edge_valid", "lv_edge_id")
+
+
+def _lv_views(batch):
+    """Level tables normalized to flat [C*L, ...] rows plus a per-row node
+    offset mapping chunk-local ids into the global node space.
+
+    Chunked batches (data/batching.collate_chunked) carry a leading [C, L]
+    axis with LOCAL node ids; chunk k's nodes live at global rows
+    [k*N_sub, (k+1)*N_sub). Plain batches are the C == 1 case (offset 0).
+    """
+    lv_nodes = batch["lv_nodes"]
+    if lv_nodes.ndim == 2:
+        off = jnp.zeros((lv_nodes.shape[0],), jnp.int32)
+        return {k: batch[k] for k in _LV_KEYS}, off, 1
+    C, L = lv_nodes.shape[:2]
+    n_sub = batch["gate"].shape[0] // C
+    tabs = {k: batch[k].reshape((C * L,) + batch[k].shape[2:]) for k in _LV_KEYS}
+    off = jnp.repeat(jnp.arange(C, dtype=jnp.int32) * n_sub, L)
+    return tabs, off, C
+
+
 def struct_input(gate: jnp.ndarray, cfg: DGConfig, dtype=jnp.float32) -> jnp.ndarray:
     """Struct-encoder input features [N, dim_feature].
 
@@ -224,7 +247,7 @@ def forward(params, batch, cfg: DGConfig, rng=None, use_pallas: bool = False,
         return hs, hf, aux
 
     def level_step(hf, lv):
-        nodes = lv["nodes"]                     # [Np]
+        nodes = lv["nodes"] + lv["off"]         # [Np] global ids
         upd_mask = lv["node_valid"] & (expert[nodes] >= 0)
         e_dst = jnp.maximum(expert[nodes], 0)   # [Np]
         hf_dst = hf[nodes]
@@ -232,7 +255,7 @@ def forward(params, batch, cfg: DGConfig, rng=None, use_pallas: bool = False,
         q = _select_expert(state_dst @ ex["wq"], e_dst, T) + ex["bq"][e_dst]
         aq = jnp.sum(q * ex["wa_q"][e_dst], axis=-1) + ex["ba"][e_dst]
 
-        src = lv["edge_src"]                    # [Ep]
+        src = lv["edge_src"] + lv["off"]        # [Ep] global ids
         dslot = lv["edge_dst_slot"]
         evalid = lv["edge_valid"]
         e_edge = e_dst[dslot]
@@ -269,12 +292,14 @@ def forward(params, batch, cfg: DGConfig, rng=None, use_pallas: bool = False,
         hf_new = jnp.where(upd_mask[:, None], hf_new, hf_dst)
         return hf.at[nodes].set(hf_new), None
 
+    tabs, lv_off, _ = _lv_views(batch)
     lv = {
-        "nodes": batch["lv_nodes"],
-        "node_valid": batch["lv_node_valid"],
-        "edge_src": batch["lv_edge_src"],
-        "edge_dst_slot": batch["lv_edge_dst_slot"],
-        "edge_valid": batch["lv_edge_valid"],
+        "nodes": tabs["lv_nodes"],
+        "node_valid": tabs["lv_node_valid"],
+        "edge_src": tabs["lv_edge_src"],
+        "edge_dst_slot": tabs["lv_edge_dst_slot"],
+        "edge_valid": tabs["lv_edge_valid"],
+        "off": lv_off,
     }
     for _ in range(cfg.num_rounds):
         hf, _ = jax.lax.scan(level_step, hf, lv)
@@ -332,10 +357,10 @@ def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
     pack, wkv_hf = _level_statics(params, batch, cfg, hs, expert)
 
     def level_step(hf, lv):
-        src = lv["edge_src"]                                # [Ep]
+        src = lv["edge_src"] + lv["off"]                    # [Ep] global ids
         dslot = lv["edge_dst_slot"]
         evalid = lv["edge_valid"]
-        nodes = lv["nodes"]                                 # [Np]
+        nodes = lv["nodes"] + lv["off"]                     # [Np] global ids
         np_ = nodes.shape[0]
 
         pk = pack[lv["edge_id"]]                            # [Ep, D+2]
@@ -377,13 +402,15 @@ def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
         upd = lv["node_valid"] & (expert[nodes] >= 0)
         return hf.at[nodes].set(jnp.where(upd[:, None], h_new, 0.0)), None
 
+    tabs, lv_off, _ = _lv_views(batch)
     lv = {
-        "nodes": batch["lv_nodes"],
-        "node_valid": batch["lv_node_valid"],
-        "edge_src": batch["lv_edge_src"],
-        "edge_dst_slot": batch["lv_edge_dst_slot"],
-        "edge_valid": batch["lv_edge_valid"],
-        "edge_id": batch["lv_edge_id"],
+        "nodes": tabs["lv_nodes"],
+        "node_valid": tabs["lv_node_valid"],
+        "edge_src": tabs["lv_edge_src"],
+        "edge_dst_slot": tabs["lv_edge_dst_slot"],
+        "edge_valid": tabs["lv_edge_valid"],
+        "edge_id": tabs["lv_edge_id"],
+        "off": lv_off,
     }
     hf = jnp.zeros_like(hs)
     hf, _ = jax.lax.scan(level_step, hf, lv)
@@ -392,8 +419,12 @@ def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
 
 def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False):
     """Fused-kernel level recurrence (ops/pallas/level_kernel.py), with a
-    hand-written VJP so training can use it too. Batches too large for the
-    VMEM-resident variant stream hf through HBM (forward-only)."""
+    hand-written VJP so training can use it too.
+
+    Large multi-graph batches arrive CHUNKED (data/batching.collate_chunked):
+    the kernel runs a (chunk, level) grid with per-chunk hf blocks resident
+    in VMEM — constant VMEM footprint at any batch size. Single graphs too
+    large for VMEM stream hf through HBM (forward-only)."""
     from ..ops.pallas.level_kernel import (
         LANE,
         _round_up,
@@ -408,15 +439,18 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
     # pad the per-edge static pack to a lane-aligned width
     pw = _round_up(D + 2, LANE)
     pack = jnp.pad(pack, ((0, 0), (0, pw - pack.shape[1])))
-    pack_lv = pack[batch["lv_edge_id"]]                     # [L, Ep, PW]
-    lv_nodes = batch["lv_nodes"]
-    lv_upd = (batch["lv_node_valid"] & (expert[lv_nodes] >= 0)).astype(jnp.int32)
-    lv_e_n = jnp.maximum(expert[lv_nodes], 0)
+    tabs, lv_off, C = _lv_views(batch)
+    n_sub = hs.shape[0] // C
+    pack_lv = pack[tabs["lv_edge_id"]]                      # [C*L, Ep, PW]
+    lv_nodes = tabs["lv_nodes"]                             # chunk-LOCAL ids
+    nodes_glob = lv_nodes + lv_off[:, None]
+    lv_upd = (tabs["lv_node_valid"] & (expert[nodes_glob] >= 0)).astype(jnp.int32)
+    lv_e_n = jnp.maximum(expert[nodes_glob], 0)
     args = (
         pack_lv,
-        batch["lv_edge_src"],
-        batch["lv_edge_dst_slot"],
-        batch["lv_edge_valid"].astype(jnp.int32),
+        tabs["lv_edge_src"],
+        tabs["lv_edge_dst_slot"],
+        tabs["lv_edge_valid"].astype(jnp.int32),
         lv_nodes,
         lv_upd,
         lv_e_n,
@@ -426,13 +460,16 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
         ex["b_hh"],
         ex["wa_k"],
     )
-    if kernel_fits(hs.shape[0], pack_lv.shape[1], lv_nodes.shape[1], D):
+    if kernel_fits(n_sub, pack_lv.shape[1], lv_nodes.shape[1], D):
         # VMEM-resident variant, differentiable (hand-written VJP)
-        return pallas_level_scan(*args, hs.shape[0], D, T, interpret)
-    # large-batch variant: hf streamed through HBM; forward-only
-    return fused_level_scan_hbm(
-        *args, num_nodes=hs.shape[0], dim=D, num_experts=T, interpret=interpret
-    )
+        return pallas_level_scan(*args, n_sub, D, T, C, interpret)
+    if C == 1:
+        # giant single-graph batch: hf streamed through HBM; forward-only
+        return fused_level_scan_hbm(
+            *args, num_nodes=n_sub, dim=D, num_experts=T, interpret=interpret
+        )
+    # chunked but a chunk still exceeds VMEM: XLA scan fallback
+    return _level_scan_fast(params, batch, cfg, hs, expert)
 
 
 def hs_decompose(params, hs):

@@ -41,10 +41,10 @@ LANE = 128
 _CHUNK_BYTES = 2 * 1024 * 1024  # VMEM budget for one one-hot gather block
 
 
-def _pick_chunk(ep: int, n: int) -> int:
+def _pick_chunk(ep: int, n: int, budget: int = _CHUNK_BYTES) -> int:
     """N-axis chunk for the one-hot gather/scatter matmuls: bound the
-    [Ep, chunk] f32 block to ~2MB of VMEM, floor 512, lane-aligned."""
-    c = max(512, min(2048, _CHUNK_BYTES // max(ep * 4, 1)))
+    [Ep, chunk] f32 block to ~budget bytes of VMEM, floor 512, lane-aligned."""
+    c = max(512, min(2048, budget // max(ep * 4, 1)))
     c = (c // LANE) * LANE
     return min(c, _round_up(n, LANE))
 
@@ -64,31 +64,41 @@ def _round_up(x, m):
 
 
 def fused_level_scan(
-    pack_lv,    # [L, Ep, PW] f32: [vhs(D) | score | expert | pad...] per edge
-    lv_src,     # [L, Ep] i32 source node of each in-edge
-    lv_dslot,   # [L, Ep] i32 destination slot within the level
-    lv_evalid,  # [L, Ep] i32 edge valid
-    lv_nodes,   # [L, Np] i32 node ids at this level
-    lv_upd,     # [L, Np] i32 update mask
-    lv_e_n,     # [L, Np] i32 expert id per level node
+    pack_lv,    # [C*L, Ep, PW] f32: [vhs(D) | score | expert | pad...] per edge
+    lv_src,     # [C*L, Ep] i32 source node of each in-edge (chunk-LOCAL id)
+    lv_dslot,   # [C*L, Ep] i32 destination slot within the level
+    lv_evalid,  # [C*L, Ep] i32 edge valid
+    lv_nodes,   # [C*L, Np] i32 node ids at this level (chunk-LOCAL)
+    lv_upd,     # [C*L, Np] i32 update mask
+    lv_e_n,     # [C*L, Np] i32 expert id per level node
     wkv_hf,     # [D, 2TD] hf-side key/value weights
     w_ih,       # [D, 3TD] GRU input weights (expert-stacked)
     b_ih,       # [T, 3D]
     b_hh,       # [T, 3D]
     wa_k,       # [T, D] attention key vector per expert
     *,
-    num_nodes: int,
+    num_nodes: int,           # nodes PER CHUNK (N_sub)
     dim: int,
     num_experts: int,
+    num_chunks: int = 1,
     interpret: bool = False,
 ):
-    """Returns hf [num_nodes, dim] f32."""
-    L, Ep, PW = pack_lv.shape
+    """Returns hf [num_chunks * num_nodes, dim] f32.
+
+    Chunked batches (data/batching.collate_chunked): the grid is (C*L,) and
+    the hf output block advances per chunk (index i // L) while staying
+    VMEM-resident across that chunk's L levels — the VMEM footprint is one
+    chunk regardless of total batch size.
+    """
+    CL, Ep, PW = pack_lv.shape
     Np = lv_nodes.shape[1]
     D, T = dim, num_experts
     N = num_nodes
+    C = num_chunks
+    L = CL // C
+    assert L * C == CL
 
-    # feed index tables as [L, W, 1] so in-kernel values are 2D columns
+    # feed index tables as [C*L, W, 1] so in-kernel values are 2D columns
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
     lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
     # level-major renumbering: level i's nodes start at lv_start[i] and all
@@ -96,14 +106,14 @@ def fused_level_scan(
     lv_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1).astype(jnp.int32)
 
     n_chunk = _pick_chunk(Ep, N)
-    kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk)
+    kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk, L=L)
     row_spec = lambda blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(L,),
+        grid=(CL,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # lv_start [L]
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # lv_start [C*L]
             row_spec((1, Ep, PW)),
             row_spec((1, Ep, 1)),
             row_spec((1, Ep, 1)),
@@ -113,8 +123,8 @@ def fused_level_scan(
             row_spec((1, Np, 1)),
             full, full, full, full, full,
         ],
-        out_specs=pl.BlockSpec((N, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, D), pack_lv.dtype),
+        out_specs=pl.BlockSpec((N, D), lambda i: (i // L, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C * N, D), pack_lv.dtype),
         interpret=interpret,
     )(lv_start, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes_c, lv_upd, lv_e_n,
       wkv_hf, w_ih, b_ih, b_hh, wa_k)
@@ -133,12 +143,13 @@ def _level_kernel(
     start_ref, pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     hf_ref,
-    *, N, D, T, Ep, Np, n_chunk,
+    *, N, D, T, Ep, Np, n_chunk, L,
 ):
     i = pl.program_id(0)
     start = start_ref[i]   # first node id of this level (N on padded levels)
 
-    @pl.when(i == 0)
+    # first level of each batch chunk: fresh hf block, zero it
+    @pl.when(i % L == 0)
     def _():
         hf_ref[:] = jnp.zeros_like(hf_ref)
 
@@ -243,35 +254,46 @@ def fused_level_scan_bwd(
     ghf_in, hf_final,
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
-    *, num_nodes: int, dim: int, num_experts: int, interpret: bool = False,
+    *, num_nodes: int, dim: int, num_experts: int, num_chunks: int = 1,
+    interpret: bool = False,
 ):
     """Reverse-level sweep. Returns (d_pack_lv, d_wkv, d_wih, d_bih, d_bhh,
-    d_wak). Grid step i processes level L-1-i; ghf (the hf cotangent) is a
-    VMEM accumulator seeded from ghf_in and fed upstream via per-source
-    scatter-adds."""
-    L, Ep, PW = pack_lv.shape
+    d_wak). Grid step i processes chunk i//L's level L-1-(i%L); ghf (the hf
+    cotangent) is a per-chunk VMEM block seeded from ghf_in's matching block
+    and fed upstream via per-source scatter-adds. Weight grads accumulate in
+    constant-index VMEM blocks across the whole grid."""
+    CL, Ep, PW = pack_lv.shape
     Np = lv_nodes.shape[1]
     D, T = dim, num_experts
     N = num_nodes
+    C = num_chunks
+    L = CL // C
+    assert L * C == CL
 
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
     lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
     lv_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1).astype(jnp.int32)
     lv_nodes = lv_nodes_c
 
-    n_chunk = _pick_chunk(Ep, N)
+    # the backward holds hf + ghf blocks plus larger intermediates; halve the
+    # one-hot chunk budget to stay inside scoped VMEM at kernel_fits dims
+    n_chunk = _pick_chunk(Ep, N, budget=_CHUNK_BYTES // 2)
     kernel = functools.partial(_level_bwd_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk, L=L)
-    rev = lambda blk: pl.BlockSpec(blk, lambda i, L=L: (L - 1 - i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
+    # grid step i -> table row (i//L)*L + (L-1 - i%L): chunks forward,
+    # levels within each chunk reversed
+    rrow = lambda i, L=L: (i // L) * L + (L - 1 - i % L)
+    rev = lambda blk: pl.BlockSpec(blk, lambda i: (rrow(i),) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
+    blkN = lambda: pl.BlockSpec((N, D), lambda i: (i // L, 0), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     f32 = pack_lv.dtype
     out = pl.pallas_call(
         kernel,
-        grid=(L,),
+        grid=(CL,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [L]
-            full,                 # ghf_in
-            full,                 # hf_final
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [C*L]
+            blkN(),               # ghf_in (per-chunk block)
+            blkN(),               # hf_final (per-chunk block)
             rev((1, Ep, PW)),     # pack
             rev((1, Ep, 1)), rev((1, Ep, 1)), rev((1, Ep, 1)),
             rev((1, Np, 1)), rev((1, Np, 1)), rev((1, Np, 1)),
@@ -284,17 +306,22 @@ def fused_level_scan_bwd(
             acc((T, 3 * D)),                       # d_bih
             acc((T, 3 * D)),                       # d_bhh
             acc((T, D)),                           # d_wak
-            acc((N, D)),                           # ghf (residual, unused)
+            blkN(),                                # ghf (residual, unused)
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((L, Ep, PW), f32),
+            jax.ShapeDtypeStruct((CL, Ep, PW), f32),
             jax.ShapeDtypeStruct((D, 2 * T * D), f32),
             jax.ShapeDtypeStruct((D, 3 * T * D), f32),
             jax.ShapeDtypeStruct((T, 3 * D), f32),
             jax.ShapeDtypeStruct((T, 3 * D), f32),
             jax.ShapeDtypeStruct((T, D), f32),
-            jax.ShapeDtypeStruct((N, D), f32),
+            jax.ShapeDtypeStruct((C * N, D), f32),
         ),
+        # ghf_in is consumed exactly once (the seed of each chunk's ghf
+        # block): alias it onto the ghf residual output to drop one
+        # [N_sub, D] VMEM block
+        input_output_aliases={1: 6},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lv_start, ghf_in, hf_final, pack_lv, lv_src, lv_dslot, lv_evalid,
       lv_nodes, lv_upd, lv_e_n, wkv_hf, w_ih, b_ih, b_hh, wa_k)
@@ -309,11 +336,15 @@ def _level_bwd_kernel(
     *, N, D, T, Ep, Np, n_chunk, L,
 ):
     i = pl.program_id(0)
-    start = start_ref[L - 1 - i]
+    start = start_ref[(i // L) * L + (L - 1 - i % L)]
+
+    # last level of each batch chunk: seed the chunk's ghf block
+    @pl.when(i % L == 0)
+    def _():
+        ghf_ref[:] = ghf_in_ref[:]
 
     @pl.when(i == 0)
     def _():
-        ghf_ref[:] = ghf_in_ref[:]
         dwkv_ref[:] = jnp.zeros_like(dwkv_ref)
         dwih_ref[:] = jnp.zeros_like(dwih_ref)
         dbih_ref[:] = jnp.zeros_like(dbih_ref)
@@ -459,41 +490,44 @@ def _level_bwd_kernel(
 # custom VJP wrapper: differentiable w.r.t. pack + weights
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
 def pallas_level_scan(
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
-    num_nodes, dim, num_experts, interpret,
+    num_nodes, dim, num_experts, num_chunks, interpret,
 ):
     return fused_level_scan(
         pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
         wkv_hf, w_ih, b_ih, b_hh, wa_k,
-        num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+        num_nodes=num_nodes, dim=dim, num_experts=num_experts,
+        num_chunks=num_chunks, interpret=interpret,
     )
 
 
 def _vjp_fwd(
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
-    num_nodes, dim, num_experts, interpret,
+    num_nodes, dim, num_experts, num_chunks, interpret,
 ):
     hf = fused_level_scan(
         pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
         wkv_hf, w_ih, b_ih, b_hh, wa_k,
-        num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+        num_nodes=num_nodes, dim=dim, num_experts=num_experts,
+        num_chunks=num_chunks, interpret=interpret,
     )
     res = (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
            wkv_hf, w_ih, b_ih, b_hh, wa_k, hf)
     return hf, res
 
 
-def _vjp_bwd(num_nodes, dim, num_experts, interpret, res, ghf):
+def _vjp_bwd(num_nodes, dim, num_experts, num_chunks, interpret, res, ghf):
     (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
      wkv_hf, w_ih, b_ih, b_hh, wa_k, hf) = res
     d_pack, d_wkv, d_wih, d_bih, d_bhh, d_wak = fused_level_scan_bwd(
         ghf, hf, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
         wkv_hf, w_ih, b_ih, b_hh, wa_k,
-        num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+        num_nodes=num_nodes, dim=dim, num_experts=num_experts,
+        num_chunks=num_chunks, interpret=interpret,
     )
     import numpy as _np
 

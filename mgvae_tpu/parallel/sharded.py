@@ -15,20 +15,31 @@ chip, the TPU-native scaling move is to shard WITHIN each level:
     all-gathers the new state (the state must be replicated for the next
     round's gathers).
 
-Composes with data parallelism as a 2-D mesh ('dp', 'mp').
+Composes with data parallelism as a 2-D mesh ('dp', 'mp'):
+``make_sharded_train_step`` runs the FULL training step (three losses,
+backward, Adam) with batches sharded over 'dp' and each shard's node/edge
+axes sharded over 'mp'. Gradient correctness across the manual collectives
+comes from shard_map's replication tracking (check_vma): the transposes of
+psum/pmax/all_gather insert the required reductions, and the dp pmean
+finishes the sync — verified against the single-device step by
+tests/test_sharded.py.
 
-This module implements the sharded forward for the num_rounds==1 fast path;
-numerics match the single-device forward exactly (tests run on the virtual
-8-device CPU mesh).
+This module implements the num_rounds==1 fast path; numerics match the
+single-device forward exactly (tests run on the virtual 8-device CPU mesh).
+The batcher emits divisible dims when given the ``mp`` hint
+(data/batching.collate(mp=...)), so the divisibility asserts below hold by
+construction.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.dg_ae import DGConfig, _select_expert, struct_input
 from ..ops.init import gru_cell_apply, layernorm_apply, linear_apply
+from ..train.losses import func_loss, prob_loss, recon_loss
 
 shard_map = jax.shard_map
 
@@ -70,13 +81,99 @@ def _sharded_struct_tower(params, x_feat_l, batch_l, num_rounds, layernorm, n, a
     return state
 
 
+def _sharded_forward_body(params, batch, cfg: DGConfig, mp_axis: str, mp: int):
+    """Within-level-sharded forward, to be called INSIDE shard_map. Batch
+    leaves are local slices per build_batch_specs/train_batch_specs; returns
+    replicated (hs, hf). Differentiable: the softmax max-shift is
+    stop_gradient'ed (exact — softmax is shift-invariant), so autodiff only
+    transposes psum/all_gather, both of which shard_map handles."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    D, T = cfg.dim_hidden, cfg.num_experts
+    gate_l = batch["gate"]                 # local node slice
+    x_feat_l = struct_input(gate_l, cfg, dtype)
+    # full N: local slice size * mesh axis size (static at trace time)
+    n = gate_l.shape[0] * mp
+
+    ex = params["experts"]
+    s = _sharded_struct_tower(params["struct"]["source"], x_feat_l, batch, cfg.s_rounds, cfg.layernorm, n, mp_axis)
+    t = _sharded_struct_tower(params["struct"]["target"], x_feat_l, batch, cfg.t_rounds, cfg.layernorm, n, mp_axis)
+    hs = linear_apply(params["hs_linear"], jnp.concatenate([s, t], axis=-1))  # replicated
+
+    gate_full = jax.lax.all_gather(gate_l, mp_axis, axis=0, tiled=True)
+    expert = cfg.expert_of_gate[gate_full]
+    e_node = jnp.maximum(expert, 0)
+
+    # per-node query score (replicated; cheap)
+    q = _select_expert(hs @ ex["wq"][:D, :], e_node, T) + ex["bq"][e_node]
+    aq_n = jnp.sum(q * ex["wa_q"][e_node], axis=-1) + ex["ba"][e_node]
+
+    wkv = jnp.concatenate([ex["wk"], ex["wv"]], axis=1)  # [2D, 2TD]
+
+    def level_step(hf, lv):
+        src = lv["edge_src"]               # [Ep_l] local slice
+        dslot = lv["edge_dst_slot"]
+        evalid = lv["edge_valid"]
+        nodes = lv["nodes"]                # replicated [Np]
+        np_ = nodes.shape[0]
+        e_dst = jnp.maximum(expert[nodes], 0)
+        e_edge = e_dst[dslot]
+
+        state_src = jnp.concatenate([hs[src], hf[src]], axis=-1)
+        kv = state_src @ wkv
+        k = _select_expert(kv[:, : T * D], e_edge, T) + ex["bk"][e_edge]
+        v = _select_expert(kv[:, T * D :], e_edge, T) + ex["bv"][e_edge]
+        score = aq_n[nodes][dslot] + jnp.sum(k * ex["wa_k"][e_edge], axis=-1)
+
+        slots = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+        inc = (dslot[:, None] == slots) & evalid[:, None]
+        inc_f = inc.astype(dtype)
+        # cross-shard segment softmax: pmax of maxima, psum of sums.
+        # stop_gradient on the shift is exact ONLY together with dropping the
+        # upper clip at 0: the single-device path routes the max edge's score
+        # gradient through the (differentiable) max-subtraction because
+        # clip's upper bound zeroes the direct path exactly at the boundary;
+        # with a constant shift the direct path must stay open, so only the
+        # numerical-underflow clip at -80 remains (shifted <= 0 up to fp
+        # noise anyway — smax IS the max of these scores).
+        smax_l = jnp.max(jnp.where(inc, score[:, None], -1e30), axis=0)
+        smax = jax.lax.pmax(jax.lax.stop_gradient(smax_l), mp_axis)
+        score_m = jnp.where(evalid, score, -1e30)
+        shifted = jnp.maximum(score_m - smax[dslot], -80.0)
+        ex_s = jnp.exp(shifted) * evalid.astype(dtype)
+        denom = jax.lax.psum(ex_s @ inc_f, mp_axis) + 1e-16
+        attn = ex_s / denom[dslot]
+        msg = jax.lax.psum(inc_f.T @ (v * attn[:, None]), mp_axis)  # [Np, D]
+
+        gi = _select_expert(msg @ ex["w_ih"], e_dst, T) + ex["b_ih"][e_dst]
+        gh = ex["b_hh"][e_dst]
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        nw = jnp.tanh(i_n + r * h_n)
+        upd = lv["node_valid"] & (expert[nodes] >= 0)
+        h_new = jnp.where(upd[:, None], (1.0 - z) * nw, 0.0)
+        return hf.at[nodes].set(h_new), None
+
+    lv = {
+        "nodes": batch["lv_nodes"],
+        "node_valid": batch["lv_node_valid"],
+        "edge_src": batch["lv_edge_src"],
+        "edge_dst_slot": batch["lv_edge_dst_slot"],
+        "edge_valid": batch["lv_edge_valid"],
+    }
+    hf = jnp.zeros_like(hs)
+    hf, _ = jax.lax.scan(level_step, hf, lv)
+    return hs, hf
+
+
 def make_sharded_forward(cfg: DGConfig, mesh: Mesh, sample_batch, mp_axis: str = "mp"):
     """Returns jitted fn(params, batch) -> (hs, hf) with within-level
     sharding over ``mp_axis``. ``sample_batch`` provides the key structure
     for the sharding specs; batches are normal collate() dicts.
 
-    Divisibility requirements (documented, asserted): N and the blocked-CSR
-    nb axis, and the level-table Ep axis, must divide the mp mesh size.
+    Divisibility requirements (satisfied by collate(..., mp=mp)): N must be
+    a multiple of mp*128 and the level-table Ep axis a multiple of mp.
     """
     assert cfg.num_rounds == 1
     mp = mesh.shape[mp_axis]
@@ -84,77 +181,7 @@ def make_sharded_forward(cfg: DGConfig, mesh: Mesh, sample_batch, mp_axis: str =
     assert sample_batch["lv_edge_src"].shape[1] % mp == 0, "Ep must divide mp"
 
     def fwd(params, batch):
-        dtype = jnp.dtype(cfg.compute_dtype)
-        D, T = cfg.dim_hidden, cfg.num_experts
-        gate_l = batch["gate"]                 # local node slice
-        x_feat_l = struct_input(gate_l, cfg, dtype)
-        # full N: local slice size * mesh axis size (static at trace time)
-        n = gate_l.shape[0] * mp
-
-        ex = params["experts"]
-        s = _sharded_struct_tower(params["struct"]["source"], x_feat_l, batch, cfg.s_rounds, cfg.layernorm, n, mp_axis)
-        t = _sharded_struct_tower(params["struct"]["target"], x_feat_l, batch, cfg.t_rounds, cfg.layernorm, n, mp_axis)
-        hs = linear_apply(params["hs_linear"], jnp.concatenate([s, t], axis=-1))  # replicated
-
-        gate_full = jax.lax.all_gather(gate_l, mp_axis, axis=0).reshape(-1)
-        expert = cfg.expert_of_gate[gate_full]
-        e_node = jnp.maximum(expert, 0)
-
-        # per-node query score (replicated; cheap)
-        q = _select_expert(hs @ ex["wq"][:D, :], e_node, T) + ex["bq"][e_node]
-        aq_n = jnp.sum(q * ex["wa_q"][e_node], axis=-1) + ex["ba"][e_node]
-
-        wkv = jnp.concatenate([ex["wk"], ex["wv"]], axis=1)  # [2D, 2TD]
-
-        def level_step(hf, lv):
-            src = lv["edge_src"]               # [Ep_l] local slice
-            dslot = lv["edge_dst_slot"]
-            evalid = lv["edge_valid"]
-            nodes = lv["nodes"]                # replicated [Np]
-            np_ = nodes.shape[0]
-            e_dst = jnp.maximum(expert[nodes], 0)
-            e_edge = e_dst[dslot]
-
-            state_src = jnp.concatenate([hs[src], hf[src]], axis=-1)
-            kv = state_src @ wkv
-            k = _select_expert(kv[:, : T * D], e_edge, T) + ex["bk"][e_edge]
-            v = _select_expert(kv[:, T * D :], e_edge, T) + ex["bv"][e_edge]
-            score = aq_n[nodes][dslot] + jnp.sum(k * ex["wa_k"][e_edge], axis=-1)
-
-            slots = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
-            inc = (dslot[:, None] == slots) & evalid[:, None]
-            inc_f = inc.astype(dtype)
-            # cross-shard segment softmax: pmax of maxima, psum of sums
-            smax_l = jnp.max(jnp.where(inc, score[:, None], -1e30), axis=0)
-            smax = jax.lax.pmax(smax_l, mp_axis)
-            score_m = jnp.where(evalid, score, -1e30)
-            shifted = jnp.clip(score_m - smax[dslot], -80.0, 0.0)
-            ex_s = jnp.exp(shifted) * evalid.astype(dtype)
-            denom = jax.lax.psum(ex_s @ inc_f, mp_axis) + 1e-16
-            attn = ex_s / denom[dslot]
-            msg = jax.lax.psum(inc_f.T @ (v * attn[:, None]), mp_axis)  # [Np, D]
-
-            gi = _select_expert(msg @ ex["w_ih"], e_dst, T) + ex["b_ih"][e_dst]
-            gh = ex["b_hh"][e_dst]
-            i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-            r = jax.nn.sigmoid(i_r + h_r)
-            z = jax.nn.sigmoid(i_z + h_z)
-            nw = jnp.tanh(i_n + r * h_n)
-            upd = lv["node_valid"] & (expert[nodes] >= 0)
-            h_new = jnp.where(upd[:, None], (1.0 - z) * nw, 0.0)
-            return hf.at[nodes].set(h_new), None
-
-        lv = {
-            "nodes": batch["lv_nodes"],
-            "node_valid": batch["lv_node_valid"],
-            "edge_src": batch["lv_edge_src"],
-            "edge_dst_slot": batch["lv_edge_dst_slot"],
-            "edge_valid": batch["lv_edge_valid"],
-        }
-        hf = jnp.zeros_like(hs)
-        hf, _ = jax.lax.scan(level_step, hf, lv)
-        return hs, hf
+        return _sharded_forward_body(params, batch, cfg, mp_axis, mp)
 
     specs = build_batch_specs(sample_batch, mp_axis)
     fn = shard_map(
@@ -164,6 +191,108 @@ def make_sharded_forward(cfg: DGConfig, mesh: Mesh, sample_batch, mp_axis: str =
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def train_batch_specs(batch, mp_axis: str = "mp"):
+    """Per-key PartitionSpecs for the dp x mp TRAIN step (mp axes only; the
+    leading dp-stack axis is prepended by make_sharded_train_step). Only what
+    the sharded forward consumes locally is mp-sharded; everything the
+    losses read (prob, node_valid, edge/tt arrays) stays replicated within
+    mp so the loss math is bit-identical to the single-device step."""
+    node_sharded = {"gate", "deg_in", "deg_out"}
+    block_sharded = {"fa_src", "fa_slot", "fa_valid", "ra_src", "ra_slot", "ra_valid"}
+    edge_sharded = {"lv_edge_src", "lv_edge_dst_slot", "lv_edge_valid", "lv_edge_id"}
+    specs = {}
+    for k in batch:
+        if k in node_sharded:
+            specs[k] = P(mp_axis)
+        elif k in block_sharded:
+            specs[k] = P(mp_axis, None)
+        elif k in edge_sharded:
+            specs[k] = P(None, mp_axis)
+        else:
+            specs[k] = P()
+    return specs
+
+
+def make_sharded_train_step(cfg: DGConfig, optimizer, mesh: Mesh, sample_batch,
+                            donate: bool = True):
+    """Full training step on a 2-D ('dp', 'mp') mesh: data parallel over
+    'dp' (one collate_shards shard per dp member), within-level model
+    parallel over 'mp' (the SP analogue — each dp shard's node/edge axes are
+    split across mp, scaling to circuits larger than one chip).
+
+    Build batches with collate_shards(shards, mp=mp) so the divisibility
+    requirements hold. Returns train_step(params, state, opt_state, batch,
+    rng, weights) -> (params, state, opt_state, metrics), signature-
+    compatible with train.step.make_train_step.
+
+    Gradients: autodiff inside shard_map transposes the forward's
+    psum/all_gather collectives (check_vma replication tracking keeps the
+    result replicated over mp), then an explicit pmean over 'dp' averages
+    the data-parallel shards — the correctness upgrade over the reference's
+    unsynced ranks (SURVEY.md §8 quirk 1), now on both mesh axes.
+    """
+    assert cfg.num_rounds == 1 and not cfg.variational
+    mp = mesh.shape["mp"]
+    assert sample_batch["gate"].shape[-1] % (128 * mp) == 0, "collate with mp=mp"
+    assert sample_batch["lv_edge_src"].shape[-1] % mp == 0, "collate with mp=mp"
+
+    sample_shard = {k: v[0] if hasattr(v, "shape") and v.ndim > 0 else v
+                    for k, v in sample_batch.items()}
+    mp_specs = train_batch_specs(sample_shard, "mp")
+    bspecs = {k: P(*(("dp",) + tuple(s))) for k, s in mp_specs.items()}
+
+    def _loss_member(params, state, batch, rng, weights):
+        batch = jax.tree.map(lambda x: x[0], batch)  # drop local dp axis
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        # 3-way split mirrors train.step.loss_and_metrics exactly so the
+        # 2-D step is bit-comparable with the dp-only step (k_vae unused:
+        # variational is rejected above)
+        _k_vae, k_neg, k_drop = jax.random.split(rng, 3)
+        hs, hf = _sharded_forward_body(params, batch, cfg, "mp", mp)
+        rc, rc_metrics = recon_loss(params, hs, batch, k_neg)
+        pl_, new_state = prob_loss(params, state, hf, batch, True, k_drop)
+        fl = func_loss(hf, batch)
+        total = weights[0] * rc + weights[1] * pl_ + weights[2] * fl
+        metrics = dict(rc_metrics)
+        metrics.update(recon_loss=rc, prob_loss=pl_, func_loss=fl,
+                       kl_loss=jnp.zeros((), hs.dtype), loss=total)
+
+        # pmean over the axes each leaf still varies on: averages the dp
+        # shards, and is a numeric no-op over mp (already replicated there —
+        # the vma checker just can't always prove it).
+        def replicate(x):
+            axes = tuple(a for a in ("dp", "mp") if a in getattr(x.aval, "vma", ()))
+            return jax.lax.pmean(x, axes) if axes else x
+
+        total = replicate(total)
+        new_state = jax.tree.map(replicate, new_state)
+        metrics = jax.tree.map(replicate, metrics)
+        return total, (new_state, metrics)
+
+    # CRITICAL: differentiate THROUGH shard_map (grad outside), never inside.
+    # Inside shard_map, jax.grad yields per-member partial gradients for the
+    # node/edge-sharded compute (each member only sees its slice's
+    # contribution) while replicated compute yields full gradients — no
+    # single collective fixes that mix. Differentiating through the
+    # shard_map'ed loss uses shard_map's own transpose rules, which insert
+    # the correct psums at the replicated/varying boundaries.
+    rep = P()
+    loss_shmap = shard_map(
+        _loss_member, mesh=mesh,
+        in_specs=(rep, rep, bspecs, rep, rep),
+        out_specs=(rep, (rep, rep)),
+    )
+
+    def _train(params, state, opt_state, batch, rng, weights):
+        grad_fn = jax.value_and_grad(loss_shmap, has_aux=True)
+        (_, (new_state, metrics)), grads = grad_fn(params, state, batch, rng, weights)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, state | new_state, opt_state, metrics
+
+    return jax.jit(_train, donate_argnums=(0, 1, 2) if donate else ())
 
 
 def build_batch_specs(batch, mp_axis: str = "mp"):

@@ -49,15 +49,31 @@ def masked_zscore(x, valid, count):
     return (x - mean) * jax.lax.rsqrt(jnp.maximum(var, 1e-30))
 
 
-def sample_negative_edges(rng, num_samples: int, n_nodes):
+def sample_negative_edges(rng, num_samples: int, batch):
     """Fixed-shape uniform negative pairs over the valid node range,
-    self-loop free (src != dst by construction)."""
+    self-loop free (src != dst by construction).
+
+    Chunked batches (data/batching.collate_chunked) have valid nodes in C
+    non-contiguous runs (chunk k at [k*N_sub, k*N_sub + count_k)); uniform
+    ids over the total count are mapped into those runs so negatives never
+    hit interior padding rows."""
+    n_nodes = batch["n_nodes"]
     k1, k2 = jax.random.split(rng)
     n = jnp.maximum(n_nodes.astype(jnp.uint32), 2)
     src = (jax.random.uniform(k1, (num_samples,)) * n).astype(jnp.int32)
     # dst = (src + 1 + u % (n-1)) % n  => never equals src
     off = (jax.random.uniform(k2, (num_samples,)) * (n - 1)).astype(jnp.int32)
     dst = (src + 1 + off) % n.astype(jnp.int32)
+    counts = batch.get("chunk_counts")
+    if counts is not None and counts.shape[0] > 1:
+        n_sub = batch["gate"].shape[0] // counts.shape[0]
+        cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+
+        def to_global(u):
+            k = jnp.searchsorted(cum, u, side="right") - 1
+            return (k * n_sub + u - cum[k]).astype(jnp.int32)
+
+        src, dst = to_global(src), to_global(dst)
     return src, dst
 
 
@@ -74,7 +90,7 @@ def recon_loss(params, hs, batch, rng, neg_edges=None):
     pos_loss = masked_mean(-jnp.log(pos_pred + EPS), ev, e_count)
 
     if neg_edges is None:
-        neg_src, neg_dst = sample_negative_edges(rng, batch["edge_src"].shape[0], batch["n_nodes"])
+        neg_src, neg_dst = sample_negative_edges(rng, batch["edge_src"].shape[0], batch)
     else:
         neg_src, neg_dst = neg_edges
     neg_pred = decode_edges(s, t, neg_src, neg_dst)

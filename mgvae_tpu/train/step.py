@@ -41,14 +41,20 @@ def set_lr(opt_state, lr):
 
 def _auto_pallas(batch, cfg: DGConfig) -> bool:
     """Use the fused Pallas level kernel (with its hand-written VJP) when on
-    TPU and the batch fits VMEM. Decided at trace time from static shapes."""
+    TPU and each batch chunk fits VMEM. Decided at trace time from static
+    shapes. Large batches built with collate_chunked/collate_fit carry a
+    leading [C, L] level-table axis; the kernel's VMEM footprint is then one
+    chunk, so any batch size qualifies as long as the chunks were sized to
+    kernel_fits."""
     if cfg.num_rounds != 1 or jax.default_backend() != "tpu":
         return False
     from ..ops.pallas.level_kernel import kernel_fits
 
+    lv = batch["lv_nodes"]
+    num_chunks = lv.shape[0] if lv.ndim == 3 else 1
     return kernel_fits(
-        batch["gate"].shape[0], batch["lv_edge_src"].shape[1],
-        batch["lv_nodes"].shape[1], cfg.dim_hidden,
+        batch["gate"].shape[0] // num_chunks, batch["lv_edge_src"].shape[-1],
+        lv.shape[-1], cfg.dim_hidden,
     )
 
 

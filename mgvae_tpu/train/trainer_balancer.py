@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.dg_ae import DGConfig, forward
 from .gradnorm import BalancerConfig, balancer_init, balancer_scales, tree_norm
@@ -21,29 +22,48 @@ from .step import make_optimizer
 from .trainer import Trainer
 
 
-def make_balancer_train_step(cfg: DGConfig, optimizer, bal_cfg: BalancerConfig):
-    def task_losses(params, state, batch, rng, train):
+def task_grads(cfg: DGConfig, params, state, batch, rng):
+    """Three per-task gradients (recon/prob/func) in one traced step: the
+    JAX equivalent of the reference's per-loss ``torch.autograd.grad`` calls
+    (gradnorm.py:160-178). Returns (grads[3], losses[3], new_state, metrics)."""
+
+    def task_losses(params):
         k_vae, k_neg, k_drop = jax.random.split(rng, 3)
         hs, hf, _ = forward(params, batch, cfg, rng=k_vae if cfg.variational else None)
         rc, rc_metrics = recon_loss(params, hs, batch, k_neg)
-        pl, new_state = prob_loss(params, state, hf, batch, train, k_drop)
+        pl, new_state = prob_loss(params, state, hf, batch, True, k_drop)
         fl = func_loss(hf, batch)
         return rc, pl, fl, new_state, rc_metrics
 
-    def _train(params, state, bal_state, opt_state, batch, rng):
-        grads = []
-        losses = []
-        aux = {}
-        for i in range(3):
-            def one(params, i=i):
-                rc, pl, fl, new_state, m = task_losses(params, state, batch, rng, True)
-                return (rc, pl, fl)[i], (new_state, m, (rc, pl, fl))
+    grads, losses, aux = [], [], None
+    for i in range(3):
+        def one(params, i=i):
+            rc, pl, fl, new_state, m = task_losses(params)
+            return (rc, pl, fl)[i], (new_state, m, (rc, pl, fl))
 
-            (l, (new_state, m, all_l)), g = jax.value_and_grad(one, has_aux=True)(params)
-            grads.append(g)
-            losses.append(l)
-            aux = (new_state, m, all_l)
-        new_state, m, (rc, pl, fl) = aux
+        (l, a), g = jax.value_and_grad(one, has_aux=True)(params)
+        grads.append(g)
+        losses.append(l)
+        aux = a
+    new_state, m, _ = aux
+    return grads, losses, new_state, m
+
+
+def make_balancer_train_step(cfg: DGConfig, optimizer, bal_cfg: BalancerConfig,
+                             mesh: Mesh | None = None):
+    """Balancer-weighted train step; with ``mesh``, runs data-parallel under
+    shard_map: per-task grads are pmean'd over 'dp' FIRST, so the Balancer's
+    norms (and therefore the scales) are those of the true global gradient
+    and identical on every device — unlike the reference, whose per-rank
+    balancers drift apart (trainer_balancer.py + quirk 1)."""
+
+    def _train(params, state, bal_state, opt_state, batch, rng):
+        grads, (rc, pl, fl), new_state, m = task_grads(cfg, params, state, batch, rng)
+        if mesh is not None:
+            grads = [jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), g) for g in grads]
+            new_state = jax.tree.map(lambda s: jax.lax.pmean(s, "dp"), new_state)
+            rc, pl, fl = (jax.lax.pmean(x, "dp") for x in (rc, pl, fl))
+            m = jax.tree.map(lambda x: jax.lax.pmean(x, "dp"), m)
         norms = jnp.stack([tree_norm(g["hs_linear"]) for g in grads])
         bal_state, scales = balancer_scales(bal_state, norms, bal_cfg)
         total_grad = jax.tree.map(
@@ -59,7 +79,24 @@ def make_balancer_train_step(cfg: DGConfig, optimizer, bal_cfg: BalancerConfig):
         )
         return params, state | new_state, bal_state, opt_state, metrics
 
-    return jax.jit(_train)
+    if mesh is None:
+        return jax.jit(_train)
+
+    rep, dp = P(), P("dp")
+
+    def _train_sharded(params, state, bal_state, opt_state, batch, rng):
+        batch = jax.tree.map(lambda x: x[0], batch)  # drop local dp axis
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        return _train(params, state, bal_state, opt_state, batch, rng)
+
+    return jax.jit(
+        jax.shard_map(
+            _train_sharded, mesh=mesh,
+            in_specs=(rep, rep, rep, rep, dp, rep),
+            out_specs=(rep, rep, rep, rep, rep),
+            check_vma=False,
+        )
+    )
 
 
 class BalancerTrainer(Trainer):
@@ -75,7 +112,11 @@ class BalancerTrainer(Trainer):
             ema_decay=ema_decay,
         )
         self.bal_state = balancer_init(self.bal_cfg)
-        self._bal_step = make_balancer_train_step(self.model_cfg, self.optimizer, self.bal_cfg)
+        # distributed-aware: _iter_batches emits dp-stacked shards when a
+        # mesh is set, and the step pmean-syncs per-task grads + norms
+        self._bal_step = make_balancer_train_step(
+            self.model_cfg, self.optimizer, self.bal_cfg, self.mesh
+        )
 
     def train(self, num_epoch: int, train_dataset, val_dataset):
         import time

@@ -86,7 +86,7 @@ def test_kl_loss_formula():
 
 
 def test_negative_sampling_no_self_loops_and_in_range():
-    src, dst = losses.sample_negative_edges(jax.random.PRNGKey(0), 4096, jnp.int32(37))
+    src, dst = losses.sample_negative_edges(jax.random.PRNGKey(0), 4096, {"n_nodes": jnp.int32(37)})
     src, dst = np.asarray(src), np.asarray(dst)
     assert (src != dst).all()
     assert src.min() >= 0 and src.max() < 37 and dst.max() < 37
