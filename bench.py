@@ -54,7 +54,7 @@ def measure_roundtrip():
     f = jax.jit(lambda x: x.sum())
     float(f(x))
     ts = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         float(f(x))
         ts.append(time.perf_counter() - t0)
@@ -106,12 +106,19 @@ def bench_modality(modality, seed, roundtrip):
             batch["lv_nodes"].shape[1], cfg.dim_hidden,
         )
         if use_pallas:  # cross-check fused kernel vs XLA scan on-device
-            _, hf_x, _ = jax.jit(lambda p, b: forward(p, b, cfg))(params, batch)
-            _, hf_p, _ = jax.jit(lambda p, b: forward(p, b, cfg, use_pallas=True))(params, batch)
+            # at HIGHEST matmul precision the two paths agree to ~1e-7; the
+            # residual ~1e-3 at default precision is purely the MXU's single
+            # bf16-pass fp32 multiplies (same on both paths) — root cause
+            # pinned by tmp/exp_numerics.py, see benchmarks/README.md
+            import dataclasses as _dc
+
+            cfg_hi = _dc.replace(cfg, matmul_precision="highest")
+            _, hf_x, _ = jax.jit(lambda p, b: forward(p, b, cfg_hi))(params, batch)
+            _, hf_p, _ = jax.jit(lambda p, b: forward(p, b, cfg_hi, use_pallas=True))(params, batch)
             n = int(batch["n_nodes"])
             dmax = float(jnp.abs(hf_x[:n] - hf_p[:n]).max())
-            log(f"[{modality}] pallas-vs-xla max |hf| diff: {dmax:.2e}")
-            assert dmax < 1e-3
+            log(f"[{modality}] pallas-vs-xla max |hf| diff (highest precision): {dmax:.2e}")
+            assert dmax < 1e-5
 
     def chained(params, batch):
         def body(i, c):
@@ -130,7 +137,7 @@ def bench_modality(modality, seed, roundtrip):
     f = jax.jit(chained)
     float(f(params, batch))  # compile + full execution
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         float(f(params, batch))
         times.append(time.perf_counter() - t0)

@@ -40,6 +40,16 @@ def get_parse_args():
     parser.add_argument("--no_input_quirk", action="store_true",
                         help="Feed the real gate one-hot to the struct encoder "
                              "instead of replicating the reference's collapsed input (quirk 3)")
+    parser.add_argument("--no_fixed_dims", action="store_true",
+                        help="Disable the running-max batch-dims mode (fixed dims avoid "
+                             "recompilation storms on datasets with varied circuit sizes)")
+    parser.add_argument("--matmul_precision", type=str, default="default",
+                        choices=["default", "high", "highest"],
+                        help="TPU fp32 matmul precision (highest = exact fp32 via bf16x6; "
+                             "default = 1 bf16 pass, ~1e-3 drift, fastest)")
+    parser.add_argument("--neg_collision_mask", action="store_true",
+                        help="Mask sampled negatives that hit real edges (matches PyG "
+                             "negative_sampling's rejection; ~E/N^2 bias otherwise)")
     parser.add_argument("--kl_weight", type=float, default=0.0,
                         help="KL weight for DG_VAE (reference computes KL but never trains it)")
     parser.add_argument("--stage_epochs", type=str, default="100,60,60",

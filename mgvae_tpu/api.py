@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .data.batching import collate
+from .data.batching import collate, collate_fit
 from .data.graph import CircuitGraph
 from .models import dg_ae
 from .models.dg_ae import DGConfig, init_params
@@ -62,17 +62,17 @@ class Model:
         def _fwd_fn(p, b, r):
             use_pallas = False
             if jax.default_backend() == "tpu" and cfg.num_rounds == 1:
-                # VMEM-resident kernel for small batches; the HBM-streaming
-                # variant (prefix-guarded DMAs) for large ones — both beat
-                # the XLA scan for inference.
+                # VMEM-resident kernel (one (chunk, level) grid for chunked
+                # batches); the HBM-streaming variant for giant single
+                # graphs — both beat the XLA scan for inference.
                 from .ops.pallas.level_kernel import kernel_fits, kernel_fits_hbm
 
-                use_pallas = kernel_fits(
-                    b["gate"].shape[0], b["lv_edge_src"].shape[1],
-                    b["lv_nodes"].shape[1], cfg.dim_hidden,
-                ) or kernel_fits_hbm(
-                    b["gate"].shape[0], b["lv_edge_src"].shape[1],
-                    b["lv_nodes"].shape[1], cfg.dim_hidden,
+                lv = b["lv_nodes"]
+                C = lv.shape[0] if lv.ndim == 3 else 1
+                n_sub = b["gate"].shape[0] // C
+                ep, np_ = b["lv_edge_src"].shape[-1], lv.shape[-1]
+                use_pallas = kernel_fits(n_sub, ep, np_, cfg.dim_hidden) or (
+                    C == 1 and kernel_fits_hbm(n_sub, ep, np_, cfg.dim_hidden)
                 )
             return dg_ae.forward(p, b, cfg, rng=r, use_pallas=use_pallas)
 
@@ -91,7 +91,8 @@ class Model:
             crop = graph.num_nodes
             batch = collate([graph])
         elif isinstance(graph, (list, tuple)):
-            batch = collate(list(graph))
+            # large lists auto-chunk so the fused kernel applies at any size
+            batch = collate_fit(list(graph))
             crop = int(batch["n_nodes"])
         else:
             batch = graph

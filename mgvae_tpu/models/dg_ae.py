@@ -60,6 +60,19 @@ class DGConfig:
     # AggConv+GRU towers) or "gcn" (--model AE, the 2-layer degree-normalized
     # DirectedGCNConvEncoder, train.py:51-54).
     struct_encoder: str = "multigcn"
+    # Mask sampled negatives that collide with real edges (the reference's
+    # PyG negative_sampling rejects them; plain uniform admits them with
+    # probability ~E/N^2 — see train/losses.recon_loss). Off by default:
+    # the bias is negligible on circuit graphs and off matches round-1
+    # numbers exactly.
+    neg_collision_mask: bool = False
+    # TPU matmul precision for fp32: "default" = single bf16 MXU pass per
+    # operand (fast; Pallas-vs-XLA |hf| agreement ~1e-3, measured, caused
+    # ENTIRELY by this — tmp/exp_numerics.py), "highest" = bf16x6 passes
+    # (exact fp32; Pallas-vs-XLA agreement 1.3e-7 on the bench batch).
+    # Applies to the XLA paths AND the Pallas kernels (their dots inherit
+    # the jax.default_matmul_precision context).
+    matmul_precision: str = "default"
 
     @property
     def gate_types(self) -> tuple:
@@ -198,8 +211,15 @@ def forward(params, batch, cfg: DGConfig, rng=None, use_pallas: bool = False,
     empty otherwise.
 
     use_pallas: run the level recurrence as the fused Pallas TPU kernel
-    (forward/inference only — no VJP yet; training uses the XLA scan).
+    (VMEM-resident and chunked variants carry a hand-written VJP, so
+    training rides the kernel too; the HBM-streamed giant-single-graph
+    variant is forward-only).
     """
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _forward(params, batch, cfg, rng, use_pallas, pallas_interpret)
+
+
+def _forward(params, batch, cfg: DGConfig, rng, use_pallas, pallas_interpret):
     dtype = jnp.dtype(cfg.compute_dtype)
     if dtype != jnp.float32:
         # throughput mode: params + activations in bf16 (fp32 master params
@@ -463,8 +483,9 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
     if kernel_fits(n_sub, pack_lv.shape[1], lv_nodes.shape[1], D):
         # VMEM-resident variant, differentiable (hand-written VJP)
         return pallas_level_scan(*args, n_sub, D, T, C, interpret)
-    if C == 1:
-        # giant single-graph batch: hf streamed through HBM; forward-only
+    if C == 1 and pack.dtype == jnp.float32:
+        # giant single-graph batch: hf streamed through HBM; forward-only,
+        # f32 only (DMA tiling assumes f32 lanes)
         return fused_level_scan_hbm(
             *args, num_nodes=n_sub, dim=D, num_experts=T, interpret=interpret
         )

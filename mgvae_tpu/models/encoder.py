@@ -88,6 +88,11 @@ def multigcn_apply(
         ev = batch["edge_valid"].astype(x_feat.dtype)
         deg_in = segment_sum(ev, batch["edge_dst"], n)
         deg_out = segment_sum(ev, batch["edge_src"], n)
+    else:
+        # batch arrays are f32; a mixed multiply would promote the whole
+        # tower back to f32 in bf16 throughput mode
+        deg_in = deg_in.astype(x_feat.dtype)
+        deg_out = deg_out.astype(x_feat.dtype)
 
     def half_round(state, aggr_p, gru_p, reverse, deg):
         nbr = _neighbor_sum(state, batch, reverse)

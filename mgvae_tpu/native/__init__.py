@@ -57,8 +57,114 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.mg_collate_stats.restype = ctypes.c_int64
+    lib.mg_collate_stats.argtypes = [
+        ctypes.c_int64, i32p, ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p,
+    ]
+    lib.mg_collate_fill.restype = ctypes.c_int32
+    lib.mg_collate_fill.argtypes = [
+        ctypes.c_int64, i32p, ctypes.c_int64, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, i32p, i32p,
+        i32p, u8p,
+        i32p, i32p, u8p, i32p,
+        i32p,
+        i32p, i32p, u8p,
+        i32p, i32p, u8p,
+        f32p, f32p,
+    ]
     _lib = lib
     return lib
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def collate_stats_native(fwd: np.ndarray, esrc: np.ndarray, edst: np.ndarray, block: int):
+    """(lv_real, np_real, ep_real, ebf_real, ebr_real) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    fwd = np.ascontiguousarray(fwd, dtype=np.int32)
+    esrc = np.ascontiguousarray(esrc, dtype=np.int64)
+    edst = np.ascontiguousarray(edst, dtype=np.int64)
+    stats = np.zeros(5, dtype=np.int64)
+    lib.mg_collate_stats(fwd.shape[0], _i32p(fwd), esrc.shape[0],
+                         _i64p(esrc), _i64p(edst), block, _i64p(stats))
+    return tuple(int(x) for x in stats)
+
+
+def collate_fill_native(fwd, esrc, edst, dims: dict, block: int, dump: int):
+    """Build all level/blocked tables in C++. Returns a dict of arrays or
+    None if the native lib is unavailable. ``dims``: padded N/E/L/NP/EP/
+    EBF/EBR. Arrays match the numpy path exactly (tests/test_native.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = fwd.shape[0]
+    e = esrc.shape[0]
+    fwd = np.ascontiguousarray(fwd, dtype=np.int32)
+    esrc = np.ascontiguousarray(esrc, dtype=np.int64)
+    edst = np.ascontiguousarray(edst, dtype=np.int64)
+    N, E, L, NP, EP, EBF, EBR = (dims[k] for k in ("N", "E", "L", "NP", "EP", "EBF", "EBR"))
+    nb = N // block
+    o = {
+        "perm": np.arange(N, dtype=np.int32),
+        "inv": np.arange(N, dtype=np.int32),
+        "edge_src": np.zeros(E, dtype=np.int32),
+        "edge_dst": np.zeros(E, dtype=np.int32),
+        "lv_nodes": np.full((L, NP), dump, dtype=np.int32),
+        "lv_node_valid": np.zeros((L, NP), dtype=np.uint8),
+        "lv_edge_src": np.full((L, EP), dump, dtype=np.int32),
+        "lv_edge_dst_slot": np.zeros((L, EP), dtype=np.int32),
+        "lv_edge_valid": np.zeros((L, EP), dtype=np.uint8),
+        "lv_edge_id": np.full((L, EP), E - 1, dtype=np.int32),
+        "lv_start": np.full(L, n, dtype=np.int32),
+        "fa_src": np.full((nb, EBF), dump, dtype=np.int32),
+        "fa_slot": np.zeros((nb, EBF), dtype=np.int32),
+        "fa_valid": np.zeros((nb, EBF), dtype=np.uint8),
+        "ra_src": np.full((nb, EBR), dump, dtype=np.int32),
+        "ra_slot": np.zeros((nb, EBR), dtype=np.int32),
+        "ra_valid": np.zeros((nb, EBR), dtype=np.uint8),
+        "deg_in": np.zeros(N, dtype=np.float32),
+        "deg_out": np.zeros(N, dtype=np.float32),
+    }
+    r = lib.mg_collate_fill(
+        n, _i32p(fwd), e, _i64p(esrc), _i64p(edst),
+        E, L, NP, EP, EBF, EBR, block,
+        _i32p(o["perm"]), _i32p(o["inv"]),
+        _i32p(o["edge_src"]), _i32p(o["edge_dst"]),
+        _i32p(o["lv_nodes"]), _u8p(o["lv_node_valid"]),
+        _i32p(o["lv_edge_src"]), _i32p(o["lv_edge_dst_slot"]),
+        _u8p(o["lv_edge_valid"]), _i32p(o["lv_edge_id"]),
+        _i32p(o["lv_start"]),
+        _i32p(o["fa_src"]), _i32p(o["fa_slot"]), _u8p(o["fa_valid"]),
+        _i32p(o["ra_src"]), _i32p(o["ra_slot"]), _u8p(o["ra_valid"]),
+        _f32p(o["deg_in"]), _f32p(o["deg_out"]),
+    )
+    if r != 0:
+        raise AssertionError(f"mg_collate_fill failed: {r} (dims too small?)")
+    for k in ("lv_node_valid", "lv_edge_valid", "fa_valid", "ra_valid"):
+        o[k] = o[k].astype(bool)
+    return o
 
 
 def levelize_native(edge_index: np.ndarray, num_nodes: int):

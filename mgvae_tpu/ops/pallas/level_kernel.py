@@ -103,7 +103,11 @@ def fused_level_scan(
     lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
     # level-major renumbering: level i's nodes start at lv_start[i] and all
     # of its message sources have smaller ids -> chunk loops can skip work
-    lv_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1).astype(jnp.int32)
+    raw_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1)
+    # fully-padded levels (L bucketing) get start=0: every gather/scatter
+    # guard then skips, making them near-no-op grid steps (start=N would
+    # gather the WHOLE chunk for nothing)
+    lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
 
     n_chunk = _pick_chunk(Ep, N)
     kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk, L=L)
@@ -153,10 +157,14 @@ def _level_kernel(
     def _():
         hf_ref[:] = jnp.zeros_like(hf_ref)
 
-    f32 = pack_ref.dtype
+    # dtype discipline: vdt is the VALUE dtype (f32, or bf16 in throughput
+    # mode — hf storage + matmul operands); accumulation and the
+    # softmax/GRU nonlinearities stay f32 always.
+    vdt = pack_ref.dtype
+    f32 = jnp.float32
     pack = pack_ref[0]                        # [Ep, PW]
-    vhs = pack[:, :D]
-    score_static = pack[:, D : D + 1]         # [Ep, 1]
+    vhs = pack[:, :D].astype(f32)
+    score_static = pack[:, D : D + 1].astype(f32)      # [Ep, 1]
     e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)  # [Ep, 1]
     src = src_ref[0]                          # [Ep, 1] i32
     dslot = dslot_ref[0]                      # [Ep, 1]
@@ -172,7 +180,7 @@ def _level_kernel(
             @pl.when(c < start)
             def _():
                 cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
-                onehot = (src == cols).astype(f32)
+                onehot = (src == cols).astype(vdt)
                 hf_src_acc[:] += jnp.dot(
                     onehot, hf_ref[pl.ds(c, ch), :], preferred_element_type=f32
                 )
@@ -185,13 +193,13 @@ def _level_kernel(
     hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
 
     # ---- hf-side key/value + expert select --------------------------------
-    kv = jnp.dot(hf_src, wkv_hf_ref[:], preferred_element_type=f32)  # [Ep, 2TD]
+    kv = jnp.dot(hf_src.astype(vdt), wkv_hf_ref[:], preferred_element_type=f32)  # [Ep, 2TD]
     eo_edge = [(e_edge == t).astype(f32) for t in range(T)]          # [Ep, 1] each
     khf = _select(kv[:, : T * D], eo_edge, T, D)
     vhf = _select(kv[:, T * D :], eo_edge, T, D)
     wa = jnp.zeros((Ep, D), f32)
     for t in range(T):
-        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :]
+        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :].astype(f32)
     score = score_static + jnp.sum(khf * wa, axis=-1, keepdims=True)  # [Ep, 1]
     v = vhs + vhf
 
@@ -210,19 +218,21 @@ def _level_kernel(
     denom = jnp.sum(ex_s * inc_f, axis=0, keepdims=True) + 1e-16       # [1, Np]
     den_edge = jnp.sum(inc_f * denom, axis=1, keepdims=True)           # [Ep, 1]
     attn = ex_s / jnp.where(den_edge > 0, den_edge, 1.0)
+    inc_v = inc_f if vdt == f32 else inc.astype(vdt)
     msg = jax.lax.dot_general(
-        inc_f, v * attn, dimension_numbers=_DN_T, preferred_element_type=f32
+        inc_v, (v * attn).astype(vdt),
+        dimension_numbers=_DN_T, preferred_element_type=f32,
     )                                                                  # [Np, D]
 
     # ---- GRU with h == 0 ---------------------------------------------------
     e_n = e_n_ref[0]                          # [Np, 1]
     eo_n = [(e_n == t).astype(f32) for t in range(T)]
-    gi = _select(jnp.dot(msg, w_ih_ref[:], preferred_element_type=f32), eo_n, T, 3 * D)
+    gi = _select(jnp.dot(msg.astype(vdt), w_ih_ref[:], preferred_element_type=f32), eo_n, T, 3 * D)
     bi = jnp.zeros((Np, 3 * D), f32)
     bh = jnp.zeros((Np, 3 * D), f32)
     for t in range(T):
-        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :]
-        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :]
+        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :].astype(f32)
+        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :].astype(f32)
     gi = gi + bi
     r = jax.nn.sigmoid(gi[:, :D] + bh[:, :D])
     z = jax.nn.sigmoid(gi[:, D : 2 * D] + bh[:, D : 2 * D])
@@ -240,10 +250,12 @@ def _level_kernel(
         @pl.when((start < c + ch) & (start + Np > c))
         def _():
             cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
-            onehot = (nodes == cols).astype(f32) * upd                 # [Np, ch]
-            hf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
-                onehot, h_new, dimension_numbers=_DN_T, preferred_element_type=f32
+            onehot = ((nodes == cols) & (upd_ref[0] > 0)).astype(vdt)  # [Np, ch]
+            out = jax.lax.dot_general(
+                onehot, h_new.astype(vdt), dimension_numbers=_DN_T,
+                preferred_element_type=f32,
             )
+            hf_ref[pl.ds(c, ch), :] += out if vdt == f32 else out.astype(vdt)
 
 
 # ===========================================================================
@@ -272,7 +284,11 @@ def fused_level_scan_bwd(
 
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
     lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
-    lv_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1).astype(jnp.int32)
+    raw_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1)
+    # fully-padded levels (L bucketing) get start=0: every gather/scatter
+    # guard then skips, making them near-no-op grid steps (start=N would
+    # gather the WHOLE chunk for nothing)
+    lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
     lv_nodes = lv_nodes_c
 
     # the backward holds hf + ghf blocks plus larger intermediates; halve the
@@ -286,7 +302,8 @@ def fused_level_scan_bwd(
     blkN = lambda: pl.BlockSpec((N, D), lambda i: (i // L, 0), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    f32 = pack_lv.dtype
+    vdt = pack_lv.dtype   # value dtype (bf16 in throughput mode)
+    f32 = jnp.float32     # weight-grad accumulators stay f32 across levels
     out = pl.pallas_call(
         kernel,
         grid=(CL,),
@@ -309,13 +326,13 @@ def fused_level_scan_bwd(
             blkN(),                                # ghf (residual, unused)
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((CL, Ep, PW), f32),
+            jax.ShapeDtypeStruct((CL, Ep, PW), vdt),
             jax.ShapeDtypeStruct((D, 2 * T * D), f32),
             jax.ShapeDtypeStruct((D, 3 * T * D), f32),
             jax.ShapeDtypeStruct((T, 3 * D), f32),
             jax.ShapeDtypeStruct((T, 3 * D), f32),
             jax.ShapeDtypeStruct((T, D), f32),
-            jax.ShapeDtypeStruct((C * N, D), f32),
+            jax.ShapeDtypeStruct((C * N, D), vdt),
         ),
         # ghf_in is consumed exactly once (the seed of each chunk's ghf
         # block): alias it onto the ghf residual output to drop one
@@ -351,10 +368,11 @@ def _level_bwd_kernel(
         dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
         dwak_ref[:] = jnp.zeros_like(dwak_ref)
 
-    f32 = pack_ref.dtype
+    vdt = pack_ref.dtype
+    f32 = jnp.float32
     pack = pack_ref[0]
-    vhs = pack[:, :D]
-    score_static = pack[:, D : D + 1]
+    vhs = pack[:, :D].astype(f32)
+    score_static = pack[:, D : D + 1].astype(f32)
     e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)
     src = src_ref[0]
     dslot = dslot_ref[0]
@@ -373,24 +391,25 @@ def _level_bwd_kernel(
             @pl.when(c < start)
             def _():
                 cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
-                onehot = (src == cols).astype(f32)
+                onehot = (src == cols).astype(vdt)
                 acc_ref[:] += jnp.dot(onehot, hf_ref[pl.ds(c, ch), :], preferred_element_type=f32)
         return acc_ref[:]
 
     hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
-    kv = jnp.dot(hf_src, wkv_hf_ref[:], preferred_element_type=f32)
+    kv = jnp.dot(hf_src.astype(vdt), wkv_hf_ref[:], preferred_element_type=f32)
     eo_edge = [(e_edge == t).astype(f32) for t in range(T)]
     khf = _select(kv[:, : T * D], eo_edge, T, D)
     vhf = _select(kv[:, T * D :], eo_edge, T, D)
     wa = jnp.zeros((Ep, D), f32)
     for t in range(T):
-        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :]
+        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :].astype(f32)
     score = score_static + jnp.sum(khf * wa, axis=-1, keepdims=True)
     v = vhs + vhf
 
     slots = jax.lax.broadcasted_iota(jnp.int32, (Ep, Np), 1)
     inc = (dslot == slots) & evalid
     inc_f = inc.astype(f32)
+    inc_v = inc_f if vdt == f32 else inc.astype(vdt)
     score_m = jnp.where(evalid, score, -1e30)
     smax = jnp.maximum(jnp.max(jnp.where(inc, score, -1e30), axis=0, keepdims=True), -1e30)
     shifted = jnp.clip(score_m - jnp.sum(inc_f * smax, axis=1, keepdims=True), -80.0, 0.0)
@@ -398,16 +417,17 @@ def _level_bwd_kernel(
     denom = jnp.sum(ex_s * inc_f, axis=0, keepdims=True) + 1e-16
     den_edge = jnp.sum(inc_f * denom, axis=1, keepdims=True)
     attn = ex_s / jnp.where(den_edge > 0, den_edge, 1.0)
-    msg = jax.lax.dot_general(inc_f, v * attn, dimension_numbers=_DN_T, preferred_element_type=f32)
+    msg = jax.lax.dot_general(inc_v, (v * attn).astype(vdt),
+                              dimension_numbers=_DN_T, preferred_element_type=f32)
 
     eo_n = [(e_n == t).astype(f32) for t in range(T)]
-    gi_all = jnp.dot(msg, w_ih_ref[:], preferred_element_type=f32)
+    gi_all = jnp.dot(msg.astype(vdt), w_ih_ref[:], preferred_element_type=f32)
     gi = _select(gi_all, eo_n, T, 3 * D)
     bi = jnp.zeros((Np, 3 * D), f32)
     bh = jnp.zeros((Np, 3 * D), f32)
     for t in range(T):
-        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :]
-        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :]
+        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :].astype(f32)
+        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :].astype(f32)
     gi = gi + bi
     r = jax.nn.sigmoid(gi[:, :D] + bh[:, :D])
     z = jax.nn.sigmoid(gi[:, D : 2 * D] + bh[:, D : 2 * D])
@@ -422,7 +442,7 @@ def _level_bwd_kernel(
             @pl.when((start < c + ch) & (start + Np > c))
             def _():
                 cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
-                onehot = (nodes == cols).astype(f32)
+                onehot = (nodes == cols).astype(vdt)
                 acc_ref[:] += jnp.dot(onehot, ghf_ref[pl.ds(c, ch), :], preferred_element_type=f32)
         return acc_ref[:]
 
@@ -437,7 +457,7 @@ def _level_bwd_kernel(
     dgi = jnp.concatenate([drho, dzeta, dnu], axis=1)   # [Np, 3D]
     dbh = jnp.concatenate([drho, dzeta, dnu * r], axis=1)
 
-    # parameter grads for GRU (+ dmsg)
+    # parameter grads for GRU (+ dmsg) — f32 accumulators always
     dmsg = jnp.zeros((Np, D), f32)
     for t in range(T):
         m = eo_n[t] * dgi                   # [Np, 3D]
@@ -446,11 +466,11 @@ def _level_bwd_kernel(
         dbih_ref[t : t + 1, :] += jnp.sum(m, axis=0, keepdims=True)
         dbhh_ref[t : t + 1, :] += jnp.sum(eo_n[t] * dbh, axis=0, keepdims=True)
         dmsg = dmsg + jax.lax.dot_general(
-            m, w_ih_ref[:, t * 3 * D : (t + 1) * 3 * D],
+            m.astype(vdt), w_ih_ref[:, t * 3 * D : (t + 1) * 3 * D],
             dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32)
 
     # ---------- attention backward -----------------------------------------
-    per_edge = jnp.dot(inc_f, dmsg, preferred_element_type=f32)   # [Ep, D]
+    per_edge = jnp.dot(inc_v, dmsg.astype(vdt), preferred_element_type=f32)  # [Ep, D]
     dv = attn * per_edge
     dattn = jnp.sum(v * per_edge, axis=-1, keepdims=True)         # [Ep, 1]
     s_grp = jnp.sum((attn * dattn) * inc_f, axis=0, keepdims=True)  # [1, Np]
@@ -468,12 +488,14 @@ def _level_bwd_kernel(
     dwkv_ref[:] += jax.lax.dot_general(
         hf_src, dkv, dimension_numbers=_DN_T, preferred_element_type=f32)
     dhf_src = jax.lax.dot_general(
-        dkv, wkv_hf_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        dkv.astype(vdt), wkv_hf_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32)                                # [Ep, D]
 
     # ---------- pack grads + upstream hf cotangent --------------------------
-    zeros_rest = jnp.zeros((Ep, pack.shape[1] - D - 1), f32)
-    dpack_ref[0] = jnp.concatenate([dv, dscore, zeros_rest], axis=1)
+    zeros_rest = jnp.zeros((Ep, pack.shape[1] - D - 1), vdt)
+    dpack_ref[0] = jnp.concatenate(
+        [dv.astype(vdt), dscore.astype(vdt), zeros_rest], axis=1
+    )
 
     for c in range(0, N, n_chunk):
         ch = min(n_chunk, N - c)
@@ -481,9 +503,11 @@ def _level_bwd_kernel(
         @pl.when(c < start)
         def _():
             cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
-            onehot = (src == cols).astype(f32) * evf
+            onehot = ((src == cols) & evalid).astype(vdt)
             ghf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
-                onehot, dhf_src, dimension_numbers=_DN_T, preferred_element_type=f32)
+                onehot, dhf_src.astype(vdt), dimension_numbers=_DN_T,
+                preferred_element_type=f32,
+            ).astype(vdt)
 
 
 # ---------------------------------------------------------------------------
@@ -532,9 +556,13 @@ def _vjp_bwd(num_nodes, dim, num_experts, num_chunks, interpret, res, ghf):
     import numpy as _np
 
     zint = lambda a: _np.zeros(a.shape, dtype=jax.dtypes.float0)
+    # weight grads accumulate in f32 inside the kernel; cotangent dtypes must
+    # match the primals (bf16 in throughput mode)
     return (d_pack, zint(lv_src), zint(lv_dslot), zint(lv_evalid),
             zint(lv_nodes), zint(lv_upd), zint(lv_e_n),
-            d_wkv, d_wih, d_bih, d_bhh, d_wak)
+            d_wkv.astype(wkv_hf.dtype), d_wih.astype(w_ih.dtype),
+            d_bih.astype(b_ih.dtype), d_bhh.astype(b_hh.dtype),
+            d_wak.astype(wa_k.dtype))
 
 
 pallas_level_scan.defvjp(_vjp_fwd, _vjp_bwd)
@@ -578,7 +606,11 @@ def fused_level_scan_hbm(
 
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
     lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
-    lv_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1).astype(jnp.int32)
+    raw_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1)
+    # fully-padded levels (L bucketing) get start=0: every gather/scatter
+    # guard then skips, making them near-no-op grid steps (start=N would
+    # gather the WHOLE chunk for nothing)
+    lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
     lv_nodes = lv_nodes_c
 
     n_chunk = _pick_chunk_divisor(Ep, N)

@@ -21,9 +21,34 @@ def make_dp_mesh(num_devices: int | None = None) -> Mesh:
 
 def maybe_initialize_distributed():
     """Multi-host rendezvous (the torchrun equivalent). Safe no-op when the
-    cluster env vars are absent (single-process debug mode, README.md:29)."""
+    cluster env vars are absent (single-process debug mode, README.md:29).
+
+    Launch recipe (per process):
+      COORDINATOR_ADDRESS=host0:1234 NUM_PROCESSES=N PROCESS_ID=i \
+        python train.py ... --distributed
+    On managed clusters (GKE TPU slices, SLURM, OpenMPI) the explicit vars
+    are unnecessary: jax.distributed.initialize() auto-detects.
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    def env(*names):
+        for n in names:
+            if n in os.environ:
+                return os.environ[n]
+        return None
+
+    addr = env("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
+    nproc = env("NUM_PROCESSES", "JAX_NUM_PROCESSES")
+    pid = env("PROCESS_ID", "JAX_PROCESS_ID")
+    if addr is not None and nproc is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr, num_processes=int(nproc), process_id=int(pid)
+        )
+    elif env("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE") is not None:
+        # managed-cluster auto-detection; single-host tunnels (axon) set
+        # TPU_WORKER_HOSTNAMES=localhost, so that var must NOT trigger this
+        try:
+            jax.distributed.initialize()
+        except ValueError:
+            pass  # not actually a multi-process launch
     return jax.process_index(), jax.process_count()

@@ -77,11 +77,22 @@ def sample_negative_edges(rng, num_samples: int, batch):
     return src, dst
 
 
-def recon_loss(params, hs, batch, rng, neg_edges=None):
+def recon_loss(params, hs, batch, rng, neg_edges=None, mask_collisions=False):
     """Returns (loss, metrics-dict of scalar counts).
 
     ``neg_edges``: optional explicit (src, dst) negative pairs (parity tests
     feed the same negatives to both frameworks); default samples in-graph.
+
+    ``mask_collisions``: the reference's PyG ``negative_sampling`` REJECTS
+    samples that hit real edges (dg_ae_model_mig.py:180); plain uniform
+    sampling admits them with probability ~E/N^2. With this flag, sampled
+    negatives that coincide with a real (valid) edge are masked out and the
+    mean renormalizes over survivors — same expectation as rejection
+    sampling, fixed shapes (no resampling loop). The membership test is a
+    fused [E, E] equality reduce: O(E^2) VPU work, never materialized, ~us
+    at the E values the batcher emits. Measured bias of NOT masking:
+    tests/test_losses.py::test_collision_mask_bias (sub-0.5% on circuit
+    graphs, grows with edge density).
     """
     s, t = hs_decompose(params, hs)
     ev = batch["edge_valid"]
@@ -94,17 +105,28 @@ def recon_loss(params, hs, batch, rng, neg_edges=None):
     else:
         neg_src, neg_dst = neg_edges
     neg_pred = decode_edges(s, t, neg_src, neg_dst)
-    neg_loss = masked_mean(-jnp.log(1.0 - neg_pred + EPS), ev, e_count)
+    neg_valid = ev
+    neg_count = e_count
+    if mask_collisions:
+        hit = jnp.any(
+            (neg_src[:, None] == batch["edge_src"][None, :])
+            & (neg_dst[:, None] == batch["edge_dst"][None, :])
+            & ev[None, :],
+            axis=1,
+        )
+        neg_valid = ev & ~hit
+        neg_count = jnp.maximum(jnp.sum(neg_valid.astype(hs.dtype)), 1.0)
+    neg_loss = masked_mean(-jnp.log(1.0 - neg_pred + EPS), neg_valid, neg_count)
 
     vf = ev.astype(hs.dtype)
     pos_bin = (pos_pred > 0.5).astype(hs.dtype) * vf
-    neg_bin = (neg_pred > 0.5).astype(hs.dtype) * vf
+    neg_bin = (neg_pred > 0.5).astype(hs.dtype) * neg_valid.astype(hs.dtype)
     metrics = {
         "tp": jnp.sum(pos_bin),
         "fn": e_count - jnp.sum(pos_bin),
         "fp": jnp.sum(neg_bin),
-        "tn": e_count - jnp.sum(neg_bin),
-        "n_pred": 2.0 * e_count,
+        "tn": neg_count - jnp.sum(neg_bin),
+        "n_pred": e_count + neg_count,
     }
     return pos_loss + neg_loss, metrics
 

@@ -65,7 +65,8 @@ def loss_and_metrics(params, state, batch, rng, weights, cfg: DGConfig, train: b
         params, batch, cfg, rng=k_vae if cfg.variational else None,
         use_pallas=_auto_pallas(batch, cfg),
     )
-    rc, rc_metrics = recon_loss(params, hs, batch, k_neg)
+    rc, rc_metrics = recon_loss(params, hs, batch, k_neg,
+                                mask_collisions=cfg.neg_collision_mask)
     pl, new_state = prob_loss(params, state, hf, batch, train, k_drop)
     fl = func_loss(hf, batch)
     kl = kl_loss(aux, batch) if cfg.variational else jnp.zeros((), hs.dtype)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.batching import collate, collate_shards
+from ..data.batching import collate, collate_fit, collate_shards
 from ..models.dg_ae import DGConfig, init_params
 from ..parallel.mesh import make_dp_mesh
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
@@ -49,6 +49,7 @@ class Trainer:
         num_devices: int | None = None,
         log_every: int = 0,
         trace_dir: str | None = None,
+        fixed_dims: bool = True,
     ):
         self.args = args
         self.model_cfg = model_cfg
@@ -58,6 +59,13 @@ class Trainer:
         self.kl_weight = kl_weight
         self.batch_size = batch_size
         self.log_every = log_every
+        # Fixed-dims mode: keep a RUNNING MAX of the padded batch dims so
+        # shapes converge to one compiled step instead of a recompilation
+        # storm on real datasets with varied circuit sizes (each distinct
+        # bucket combination is a fresh 20s-5min remote TPU compile). The
+        # running max only grows, so recompiles are O(log) per dim.
+        self.fixed_dims = fixed_dims
+        self._dims_max: dict = {}
         # Tracing/profiling subsystem (the reference has only wall-clock
         # meters, SURVEY.md §5.1): when set, epoch 0 of every train() call is
         # captured with jax.profiler into trace_dir (view with tensorboard
@@ -137,24 +145,44 @@ class Trainer:
     def _iter_batches(self, dataset, shuffle: bool):
         """Host-side loader: shuffle, drop_last, shard across devices.
 
-        Multi-host: each process takes a strided slice of the (identically
-        shuffled) index list — the DistributedSampler equivalent
-        (trainer.py:179-192). The np rng is seeded identically on every
-        process so the shuffles agree."""
+        Multi-host (jax.process_count() > 1): the np rng is seeded
+        identically on every process, so all processes see the SAME shuffled
+        index list and the same global batch layout — the DistributedSampler
+        equivalent (trainer.py:179-192). Every process collates the full
+        step's shards (deterministic, a few ms, overlapped by the prefetch
+        thread — this is how the padded dims are guaranteed to agree across
+        processes without communication), then assembles a global jax.Array
+        from its local devices' slices."""
         idx = np.arange(len(dataset))
         if shuffle:
             self._np_rng.shuffle(idx)
-        if jax.process_count() > 1:
-            idx = idx[jax.process_index() :: jax.process_count()]
         step_graphs = self.batch_size * self.num_devices
         n_steps = len(idx) // step_graphs
+        if n_steps == 0 and self.is_chief and len(dataset):
+            print(
+                f"[WARN] dataset of {len(dataset)} graphs yields 0 steps at "
+                f"batch_size {self.batch_size} x {self.num_devices} device(s) "
+                "(drop_last) — epoch will be empty"
+            )
+        multihost = jax.process_count() > 1 and self.mesh is not None
+
+        dims = None
+        if self.fixed_dims:
+            dims = self._update_dims_max(dataset, idx, n_steps, step_graphs)
 
         def make(s):
             chunk = [dataset[i] for i in idx[s * step_graphs : (s + 1) * step_graphs]]
             if self.mesh is not None:
                 shards = [chunk[d * self.batch_size : (d + 1) * self.batch_size] for d in range(self.num_devices)]
-                return collate_shards(shards)
-            return collate(chunk)
+                batch = collate_shards(shards, dims=dims)
+                if multihost:
+                    batch = self._globalize(batch)
+                return batch
+            if dims is None and jax.default_backend() == "tpu":
+                # auto-chunk big batches so training rides the fused kernel's
+                # (chunk, level) grid instead of falling back to the XLA scan
+                return collate_fit(chunk)
+            return collate(chunk, dims=dims)
 
         # background-thread prefetch: host-side collation (python/numpy)
         # overlaps device steps instead of serializing with them
@@ -180,6 +208,43 @@ class Trainer:
             if isinstance(b, BaseException):
                 raise b
             yield b
+
+    def _update_dims_max(self, dataset, idx, n_steps, step_graphs):
+        """Grow the running dims max over this epoch's actual shards (cheap
+        native stats pass per shard; falls back to dynamic shapes when the
+        native lib is unavailable). Returns the dims to collate with, or
+        None to keep per-batch natural dims."""
+        from ..data.batching import shard_dims
+
+        per = self.batch_size if self.mesh is not None else step_graphs
+        for s in range(n_steps):
+            chunk_idx = idx[s * step_graphs : (s + 1) * step_graphs]
+            for d in range(0, len(chunk_idx), per):
+                shard = [dataset[i] for i in chunk_idx[d : d + per]]
+                sd = shard_dims(shard)
+                if sd is None:
+                    return None  # no native lib: stay dynamic
+                for k, v in sd.items():
+                    if v > self._dims_max.get(k, 0):
+                        self._dims_max[k] = v
+        return dict(self._dims_max)
+
+    def _globalize(self, batch: dict) -> dict:
+        """Assemble global dp-sharded jax.Arrays from this process's slice of
+        the stacked shards (multi-host). Local devices own contiguous dp
+        rows [p*ld, (p+1)*ld)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ld = jax.local_device_count()
+        lo = self.process_index * ld
+        sharding = NamedSharding(self.mesh, P("dp"))
+
+        def to_global(x):
+            return jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(x[lo : lo + ld]), x.shape
+            )
+
+        return {k: to_global(v) for k, v in batch.items()}
 
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)

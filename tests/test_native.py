@@ -63,3 +63,31 @@ def test_native_aig_decode_matches_python(tmp_path):
     assert len(gates) == 9
     assert (gates == 2).sum() == 4 and (gates == 1).sum() == 3
     assert edges.shape[1] == 2 * 3 + 4  # 2 per AND + 1 per NOT
+
+
+def test_native_collate_matches_numpy(monkeypatch):
+    """The C++ collate core must produce byte-identical batches to the numpy
+    reference path, across modalities, paddings, and tt-pair layouts."""
+    import mgvae_tpu.data.batching as B
+    from mgvae_tpu.data.synthetic import random_circuit
+    from mgvae_tpu.native import get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    for modality, ng, nc in (("mig", 40, 5), ("xmg", 300, 3), ("aig", 24, 1)):
+        graphs = [
+            random_circuit(rng, modality, num_inputs=6, num_gates=ng, num_tt_pairs=16)
+            for _ in range(nc)
+        ]
+        b_nat = B.collate(graphs, mp=2)
+        with monkeypatch.context() as m:
+            m.setattr(B, "_collate_native", lambda *a, **k: None)
+            b_np = B.collate(graphs, mp=2)
+        assert set(b_nat) == set(b_np)
+        for k in b_np:
+            np.testing.assert_array_equal(
+                np.asarray(b_nat[k]), np.asarray(b_np[k]), err_msg=f"{modality}:{k}"
+            )

@@ -72,3 +72,44 @@ def test_deep_chain_circuit():
     hf1 = forward(params, batch, cfg, use_pallas=True, pallas_interpret=True)[1]
     assert np.isfinite(np.asarray(hf0)).all()
     np.testing.assert_allclose(np.asarray(hf1), np.asarray(hf0), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_bf16_mode_forward_and_vjp():
+    """bf16 throughput mode: values in bf16, accumulation f32. Parity vs the
+    f32 XLA path within bf16 rounding (~1e-2 abs on O(1) values)."""
+    import jax.flatten_util
+
+    cfg32 = DGConfig(modality="mig", dim_hidden=64, layernorm=True)
+    cfg16 = DGConfig(modality="mig", dim_hidden=64, layernorm=True, compute_dtype="bfloat16")
+    params, _ = init_params(jax.random.PRNGKey(0), cfg32)
+    rng = np.random.default_rng(4)
+    graphs = [random_circuit(rng, "mig", num_inputs=6, num_gates=40) for _ in range(3)]
+    batch = jax.tree.map(jnp.asarray, collate(graphs))
+    n = int(batch["n_nodes"])
+
+    _, hf32, _ = forward(params, batch, cfg32)
+    _, hf16x, _ = forward(params, batch, cfg16)  # XLA bf16
+    _, hf16p, _ = forward(params, batch, cfg16, use_pallas=True, pallas_interpret=True)
+    assert hf16p.dtype == jnp.bfloat16
+    a32 = np.asarray(hf32[:n], np.float32)
+    np.testing.assert_allclose(np.asarray(hf16p[:n], np.float32), a32, atol=3e-2, rtol=1e-1)
+    # kernel-vs-XLA agreement within bf16 mode should be much tighter
+    np.testing.assert_allclose(
+        np.asarray(hf16p[:n], np.float32), np.asarray(hf16x[:n], np.float32),
+        atol=2e-2, rtol=1e-1,
+    )
+
+    # VJP runs and grads roughly track the f32 grads
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (batch["gate"].shape[0], 64))
+
+    def loss(params, cfg, use_pallas):
+        hs, hf, _ = forward(params, batch, cfg, use_pallas=use_pallas, pallas_interpret=True)
+        m = batch["node_valid"][:, None]
+        return jnp.sum(jnp.where(m, (hf.astype(jnp.float32) - tgt) ** 2, 0.0))
+
+    g32 = jax.grad(lambda p: loss(p, cfg32, False))(params)
+    g16 = jax.grad(lambda p: loss(p, cfg16, True))(params)
+    a, _ = jax.flatten_util.ravel_pytree(g32)
+    b, _ = jax.flatten_util.ravel_pytree(jax.tree.map(lambda x: x.astype(jnp.float32), g16))
+    scale = float(jnp.abs(a).max())
+    assert float(jnp.abs(a - b).max()) < 0.05 * max(scale, 1.0)

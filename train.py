@@ -54,6 +54,8 @@ if __name__ == "__main__":
         layernorm=args.layernorm,
         variational="VAE" in args.model,
         input_quirk=not args.no_input_quirk,
+        neg_collision_mask=args.neg_collision_mask,
+        matmul_precision=args.matmul_precision,
         # --model AE selects the 2-layer DirectedGCN encoder (train.py:51-54)
         struct_encoder="multigcn" if "DG" in args.model else "gcn",
     )
@@ -68,6 +70,7 @@ if __name__ == "__main__":
         kl_weight=args.kl_weight,
         seed=args.seed,
         log_every=args.log_every,
+        fixed_dims=not args.no_fixed_dims,
     )
     if args.resume:
         trainer.resume()
