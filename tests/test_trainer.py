@@ -108,3 +108,34 @@ def test_vae_training_with_kl(tmp_path):
         last = tr.train(1, ds, ds)
     assert np.isfinite(last["recon"]) and np.isfinite(last["kl"])
     assert last["recon"] < first["recon"]
+
+
+def test_fixed_dims_yields_one_shape(tmp_path):
+    """fixed_dims mode: every batch across epochs/shuffles must share one
+    padded shape (no recompilation storm on varied-size datasets)."""
+    import types
+
+    from mgvae_tpu.data.batching import batch_shape_key
+    from mgvae_tpu.models.dg_ae import DGConfig
+    from mgvae_tpu.native import get_lib
+    from mgvae_tpu.train.trainer import Trainer
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("fixed_dims needs the native stats pass")
+    rng = np.random.default_rng(0)
+    ds = [
+        random_circuit(rng, "mig", num_inputs=4, num_gates=int(g))
+        for g in rng.integers(16, 120, size=12)
+    ]
+    cfg = DGConfig(modality="mig", dim_hidden=16, s_rounds=1, t_rounds=1)
+    tr = Trainer(
+        types.SimpleNamespace(model="DG_AE"), cfg, training_id="fd", save_dir=str(tmp_path),
+        batch_size=4, distributed=False, fixed_dims=True,
+    )
+    keys = set()
+    for _ in range(3):  # three shuffled epochs
+        for b in tr._iter_batches(ds, shuffle=True):
+            keys.add(batch_shape_key(b))
+    assert len(keys) == 1, f"expected one shape, got {len(keys)}"
