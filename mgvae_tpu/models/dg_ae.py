@@ -448,9 +448,9 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
     from ..ops.pallas.level_kernel import (
         LANE,
         _round_up,
-        fused_level_scan_hbm,
         kernel_fits,
         pallas_level_scan,
+        pallas_level_scan_hbm,
     )
 
     D, T = cfg.dim_hidden, cfg.num_experts
@@ -484,11 +484,10 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
         # VMEM-resident variant, differentiable (hand-written VJP)
         return pallas_level_scan(*args, n_sub, D, T, C, interpret)
     if C == 1 and pack.dtype == jnp.float32:
-        # giant single-graph batch: hf streamed through HBM; forward-only,
+        # giant single-graph batch: hf streamed through HBM, differentiable
+        # (the backward streams hf + the ghf cotangent chunkwise too);
         # f32 only (DMA tiling assumes f32 lanes)
-        return fused_level_scan_hbm(
-            *args, num_nodes=n_sub, dim=D, num_experts=T, interpret=interpret
-        )
+        return pallas_level_scan_hbm(*args, n_sub, D, T, interpret)
     # chunked but a chunk still exceeds VMEM: XLA scan fallback
     return _level_scan_fast(params, batch, cfg, hs, expert)
 

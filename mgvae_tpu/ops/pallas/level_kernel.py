@@ -98,39 +98,42 @@ def fused_level_scan(
     L = CL // C
     assert L * C == CL
 
-    # feed index tables as [C*L, W, 1] so in-kernel values are 2D columns
-    lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
-    lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
+    # pack the per-level index columns into TWO tables (3 row-blocked
+    # fetches per grid step instead of 7; measured ~4% at bs64). NOTE the
+    # residual ~5 us/level floor is the unguarded softmax/GRU math itself —
+    # fewer grid steps (LPS) and fewer DMAs both measure ~neutral.
+    edge_tbl = jnp.stack([lv_src, lv_dslot, lv_evalid, lv_evalid], axis=-1)  # [CL, Ep, 4]
+    node_tbl = jnp.stack([lv_nodes, lv_upd, lv_e_n, lv_e_n], axis=-1)        # [CL, Np, 4]
     # level-major renumbering: level i's nodes start at lv_start[i] and all
     # of its message sources have smaller ids -> chunk loops can skip work
-    raw_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1)
+    raw_start = jnp.min(jnp.where(lv_upd > 0, lv_nodes, N), axis=1)
     # fully-padded levels (L bucketing) get start=0: every gather/scatter
     # guard then skips, making them near-no-op grid steps (start=N would
     # gather the WHOLE chunk for nothing)
     lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
 
+    # two levels per grid step: amortizes the block-change machinery
+    # (marginal win; the per-level floor is the level's own VPU math)
+    LPS = 2 if L % 2 == 0 else 1
     n_chunk = _pick_chunk(Ep, N)
-    kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk, L=L)
+    kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np,
+                               n_chunk=n_chunk, L=L, LPS=LPS)
     row_spec = lambda blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(CL,),
+        grid=(CL // LPS,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # lv_start [C*L]
-            row_spec((1, Ep, PW)),
-            row_spec((1, Ep, 1)),
-            row_spec((1, Ep, 1)),
-            row_spec((1, Ep, 1)),
-            row_spec((1, Np, 1)),
-            row_spec((1, Np, 1)),
-            row_spec((1, Np, 1)),
+            row_spec((LPS, Ep, PW)),
+            row_spec((LPS, Ep, 4)),
+            row_spec((LPS, Np, 4)),
             full, full, full, full, full,
         ],
-        out_specs=pl.BlockSpec((N, D), lambda i: (i // L, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((N, D), lambda i: (i // (L // LPS), 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C * N, D), pack_lv.dtype),
         interpret=interpret,
-    )(lv_start, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes_c, lv_upd, lv_e_n,
+    )(lv_start, pack_lv, edge_tbl, node_tbl,
       wkv_hf, w_ih, b_ih, b_hh, wa_k)
 
 
@@ -144,31 +147,43 @@ def _select(stacked, expert_onehots, T, width):
 
 
 def _level_kernel(
-    start_ref, pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
+    start_ref, pack_ref, edge_tbl_ref, node_tbl_ref,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     hf_ref,
-    *, N, D, T, Ep, Np, n_chunk, L,
+    *, N, D, T, Ep, Np, n_chunk, L, LPS,
 ):
     i = pl.program_id(0)
-    start = start_ref[i]   # first node id of this level (N on padded levels)
 
-    # first level of each batch chunk: fresh hf block, zero it
-    @pl.when(i % L == 0)
+    # first level of each batch chunk: fresh hf block, zero it (LPS divides
+    # L, so a chunk boundary only ever falls on sub-level j == 0)
+    @pl.when(i % (L // LPS) == 0)
     def _():
         hf_ref[:] = jnp.zeros_like(hf_ref)
 
+    for j in range(LPS):
+        _level_body(
+            start_ref[i * LPS + j], pack_ref[j], edge_tbl_ref[j], node_tbl_ref[j],
+            wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
+            N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk,
+        )
+
+
+def _level_body(
+    start, pack, etbl, ntbl,
+    wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
+    *, N, D, T, Ep, Np, n_chunk,
+):
     # dtype discipline: vdt is the VALUE dtype (f32, or bf16 in throughput
     # mode — hf storage + matmul operands); accumulation and the
     # softmax/GRU nonlinearities stay f32 always.
-    vdt = pack_ref.dtype
+    vdt = pack.dtype
     f32 = jnp.float32
-    pack = pack_ref[0]                        # [Ep, PW]
     vhs = pack[:, :D].astype(f32)
     score_static = pack[:, D : D + 1].astype(f32)      # [Ep, 1]
     e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)  # [Ep, 1]
-    src = src_ref[0]                          # [Ep, 1] i32
-    dslot = dslot_ref[0]                      # [Ep, 1]
-    evalid = evalid_ref[0] > 0                # [Ep, 1] bool
+    src = etbl[:, 0:1]                        # [Ep, 1] i32
+    dslot = etbl[:, 1:2]                      # [Ep, 1]
+    evalid = etbl[:, 2:3] > 0                 # [Ep, 1] bool
     evf = evalid.astype(f32)
 
     # ---- gather hf[src] via chunked one-hot matmuls ----------------------
@@ -225,7 +240,7 @@ def _level_kernel(
     )                                                                  # [Np, D]
 
     # ---- GRU with h == 0 ---------------------------------------------------
-    e_n = e_n_ref[0]                          # [Np, 1]
+    e_n = ntbl[:, 2:3]                        # [Np, 1]
     eo_n = [(e_n == t).astype(f32) for t in range(T)]
     gi = _select(jnp.dot(msg.astype(vdt), w_ih_ref[:], preferred_element_type=f32), eo_n, T, 3 * D)
     bi = jnp.zeros((Np, 3 * D), f32)
@@ -237,20 +252,21 @@ def _level_kernel(
     r = jax.nn.sigmoid(gi[:, :D] + bh[:, :D])
     z = jax.nn.sigmoid(gi[:, D : 2 * D] + bh[:, D : 2 * D])
     nw = jnp.tanh(gi[:, 2 * D :] + r * bh[:, 2 * D :])
-    upd = (upd_ref[0] > 0).astype(f32)        # [Np, 1]
+    upd_b = ntbl[:, 1:2] > 0                  # [Np, 1] bool
+    upd = upd_b.astype(f32)
     h_new = (1.0 - z) * nw * upd
 
     # ---- scatter-add back into hf (rows are fresh: previously zero) -------
     # this level's nodes are contiguous in [start, start+Np): only chunks
     # overlapping that range need the one-hot matmul
-    nodes = nodes_ref[0]                      # [Np, 1]
+    nodes = ntbl[:, 0:1]                      # [Np, 1]
     for c in range(0, N, n_chunk):
         ch = min(n_chunk, N - c)
 
         @pl.when((start < c + ch) & (start + Np > c))
         def _():
             cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
-            onehot = ((nodes == cols) & (upd_ref[0] > 0)).astype(vdt)  # [Np, ch]
+            onehot = ((nodes == cols) & upd_b).astype(vdt)  # [Np, ch]
             out = jax.lax.dot_general(
                 onehot, h_new.astype(vdt), dimension_numbers=_DN_T,
                 preferred_element_type=f32,
@@ -282,14 +298,14 @@ def fused_level_scan_bwd(
     L = CL // C
     assert L * C == CL
 
-    lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
-    lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
-    raw_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1)
+    # packed index tables: 3 row-blocked fetches per grid step instead of 7
+    edge_tbl = jnp.stack([lv_src, lv_dslot, lv_evalid, lv_evalid], axis=-1)  # [CL, Ep, 4]
+    node_tbl = jnp.stack([lv_nodes, lv_upd, lv_e_n, lv_e_n], axis=-1)        # [CL, Np, 4]
+    raw_start = jnp.min(jnp.where(lv_upd > 0, lv_nodes, N), axis=1)
     # fully-padded levels (L bucketing) get start=0: every gather/scatter
     # guard then skips, making them near-no-op grid steps (start=N would
     # gather the WHOLE chunk for nothing)
     lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
-    lv_nodes = lv_nodes_c
 
     # the backward holds hf + ghf blocks plus larger intermediates; halve the
     # one-hot chunk budget to stay inside scoped VMEM at kernel_fits dims
@@ -312,8 +328,8 @@ def fused_level_scan_bwd(
             blkN(),               # ghf_in (per-chunk block)
             blkN(),               # hf_final (per-chunk block)
             rev((1, Ep, PW)),     # pack
-            rev((1, Ep, 1)), rev((1, Ep, 1)), rev((1, Ep, 1)),
-            rev((1, Np, 1)), rev((1, Np, 1)), rev((1, Np, 1)),
+            rev((1, Ep, 4)),      # edge_tbl
+            rev((1, Np, 4)),      # node_tbl
             full, full, full, full, full,
         ],
         out_specs=(
@@ -340,14 +356,14 @@ def fused_level_scan_bwd(
         input_output_aliases={1: 6},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lv_start, ghf_in, hf_final, pack_lv, lv_src, lv_dslot, lv_evalid,
-      lv_nodes, lv_upd, lv_e_n, wkv_hf, w_ih, b_ih, b_hh, wa_k)
+    )(lv_start, ghf_in, hf_final, pack_lv, edge_tbl, node_tbl,
+      wkv_hf, w_ih, b_ih, b_hh, wa_k)
     return out[:6]
 
 
 def _level_bwd_kernel(
     start_ref, ghf_in_ref, hf_ref,
-    pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
+    pack_ref, edge_tbl_ref, node_tbl_ref,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     dpack_ref, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref, ghf_ref,
     *, N, D, T, Ep, Np, n_chunk, L,
@@ -374,13 +390,15 @@ def _level_bwd_kernel(
     vhs = pack[:, :D].astype(f32)
     score_static = pack[:, D : D + 1].astype(f32)
     e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)
-    src = src_ref[0]
-    dslot = dslot_ref[0]
-    evalid = evalid_ref[0] > 0
+    etbl = edge_tbl_ref[0]                    # [Ep, 4]
+    src = etbl[:, 0:1]
+    dslot = etbl[:, 1:2]
+    evalid = etbl[:, 2:3] > 0
     evf = evalid.astype(f32)
-    nodes = nodes_ref[0]
-    upd = (upd_ref[0] > 0).astype(f32)
-    e_n = e_n_ref[0]
+    ntbl = node_tbl_ref[0]                    # [Np, 4]
+    nodes = ntbl[:, 0:1]
+    upd = (ntbl[:, 1:2] > 0).astype(f32)
+    e_n = ntbl[:, 2:3]
 
     # ---------- recompute forward intermediates from final hf -------------
     def body_gather(acc_ref):
@@ -599,6 +617,21 @@ def fused_level_scan_hbm(
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
     *, num_nodes: int, dim: int, num_experts: int, interpret: bool = False,
 ):
+    return _level_scan_hbm_padded(
+        pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+        wkv_hf, w_ih, b_ih, b_hh, wa_k,
+        num_nodes=num_nodes, dim=dim, num_experts=num_experts,
+        interpret=interpret,
+    )[:, :dim]
+
+
+def _level_scan_hbm_padded(
+    pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    *, num_nodes: int, dim: int, num_experts: int, interpret: bool = False,
+):
+    """HBM-streamed forward returning the LANE-PADDED hf [N, DW] (the VJP
+    residual layout — DMA slicing cannot cut a <128 lane dim)."""
     L, Ep, PW = pack_lv.shape
     Np = lv_nodes.shape[1]
     D, T = dim, num_experts
@@ -642,7 +675,7 @@ def fused_level_scan_hbm(
         ],
         interpret=interpret,
     )(lv_start, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
-      wkv_hf, w_ih, b_ih, b_hh, wa_k)[:, :D]
+      wkv_hf, w_ih, b_ih, b_hh, wa_k)
 
 
 def _level_kernel_hbm(
@@ -770,3 +803,337 @@ def _level_kernel_hbm(
                 onehot, h_new_w, dimension_numbers=_DN_T, preferred_element_type=f32
             )
             store_chunk(c)
+
+
+# ===========================================================================
+# HBM-variant backward: training for giant SINGLE graphs whose hf exceeds
+# VMEM. Reverse-level sweep with BOTH the forward residual hf and the hf
+# cotangent ghf resident in HBM, streamed chunkwise through VMEM scratch
+# (gathers double-buffered; the per-level ghf prefix scatter is a
+# read-modify-write stream). Weight grads accumulate in constant-index VMEM
+# blocks; ghf_in is aliased onto the ghf output (it is consumed exactly once
+# per chunk of rows and updated in place).
+# ===========================================================================
+
+def kernel_fits_hbm_bwd(num_nodes: int, ep: int, np_: int, dim: int) -> bool:
+    """The backward's [Ep, Np] incidence and double-buffered chunk pairs
+    bound VMEM, not N."""
+    return ep <= 2048 and np_ <= 1024 and dim <= 128
+
+
+def fused_level_scan_hbm_bwd(
+    ghf_in_pad, hf_pad,
+    pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    *, num_nodes: int, dim: int, num_experts: int, interpret: bool = False,
+):
+    """ghf_in_pad/hf_pad: LANE-PADDED [N, DW] (DMA cannot slice a <128 lane
+    dim). Returns (d_pack_lv, d_wkv, d_wih, d_bih, d_bhh, d_wak)."""
+    L, Ep, PW = pack_lv.shape
+    Np = lv_nodes.shape[1]
+    D, T = dim, num_experts
+    N = num_nodes
+    DW = hf_pad.shape[1]
+
+    lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
+    lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
+    raw_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1)
+    lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
+    lv_nodes = lv_nodes_c
+
+    n_chunk = _pick_chunk_divisor(Ep, N)
+    kernel = functools.partial(
+        _level_bwd_kernel_hbm, N=N, D=D, DW=DW, T=T, Ep=Ep, Np=Np,
+        n_chunk=n_chunk, L=L,
+    )
+    rev = lambda blk: pl.BlockSpec(blk, lambda i: (L - 1 - i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [L]
+            pl.BlockSpec(memory_space=pltpu.ANY),    # ghf_in (HBM, aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # hf residual (HBM)
+            rev((1, Ep, PW)),
+            rev((1, Ep, 1)), rev((1, Ep, 1)), rev((1, Ep, 1)),
+            rev((1, Np, 1)), rev((1, Np, 1)), rev((1, Np, 1)),
+            full, full, full, full, full,
+        ],
+        out_specs=(
+            rev((1, Ep, PW)),                      # d_pack
+            acc((D, 2 * T * D)),                   # d_wkv
+            acc((D, 3 * T * D)),                   # d_wih
+            acc((T, 3 * D)),                       # d_bih
+            acc((T, 3 * D)),                       # d_bhh
+            acc((T, D)),                           # d_wak
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ghf (aliased residual)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, Ep, PW), pack_lv.dtype),
+            jax.ShapeDtypeStruct((D, 2 * T * D), f32),
+            jax.ShapeDtypeStruct((D, 3 * T * D), f32),
+            jax.ShapeDtypeStruct((T, 3 * D), f32),
+            jax.ShapeDtypeStruct((T, 3 * D), f32),
+            jax.ShapeDtypeStruct((T, D), f32),
+            jax.ShapeDtypeStruct((N, DW), f32),
+        ),
+        input_output_aliases={1: 6},
+        scratch_shapes=[
+            pltpu.VMEM((2, n_chunk, DW), f32),   # hf chunks (double buffer)
+            pltpu.VMEM((2, n_chunk, DW), f32),   # ghf chunks
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lv_start, ghf_in_pad, hf_pad, pack_lv, lv_src, lv_dslot, lv_evalid,
+      lv_nodes, lv_upd, lv_e_n, wkv_hf, w_ih, b_ih, b_hh, wa_k)
+    return out[:6]
+
+
+def _level_bwd_kernel_hbm(
+    start_ref, ghf_in_ref, hf_hbm_ref,
+    pack_ref, src_ref, dslot_ref, evalid_ref, nodes_ref, upd_ref, e_n_ref,
+    wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
+    dpack_ref, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref, ghf_hbm_ref,
+    hf_buf, g_buf, hf_sem, g_sem,
+    *, N, D, DW, T, Ep, Np, n_chunk, L,
+):
+    i = pl.program_id(0)
+    start = start_ref[L - 1 - i]
+    f32 = jnp.float32
+    del ghf_in_ref  # aliased with ghf_hbm_ref; read/write through the output
+
+    @pl.when(i == 0)
+    def _():
+        dwkv_ref[:] = jnp.zeros_like(dwkv_ref)
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dbih_ref[:] = jnp.zeros_like(dbih_ref)
+        dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
+        dwak_ref[:] = jnp.zeros_like(dwak_ref)
+
+    pack = pack_ref[0]
+    vhs = pack[:, :D]
+    score_static = pack[:, D : D + 1]
+    e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)
+    src = src_ref[0]
+    dslot = dslot_ref[0]
+    evalid = evalid_ref[0] > 0
+    evf = evalid.astype(f32)
+    nodes = nodes_ref[0]
+    upd = (upd_ref[0] > 0).astype(f32)
+    e_n = e_n_ref[0]
+
+    chunks = list(range(0, N, n_chunk))
+
+    def dma_hf(c, slot):
+        return pltpu.make_async_copy(
+            hf_hbm_ref.at[pl.ds(c, n_chunk), :], hf_buf.at[slot], hf_sem.at[slot]
+        )
+
+    # ---------- recompute hf_src: double-buffered stream of the prefix -----
+    def body_gather(acc_ref):
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(0 < start)
+        def _():
+            dma_hf(chunks[0], 0).start()
+
+        for idx, c in enumerate(chunks):
+            slot = idx % 2
+
+            @pl.when(c < start)
+            def _(c=c, slot=slot, idx=idx):
+                if idx + 1 < len(chunks):
+                    nxt = chunks[idx + 1]
+
+                    @pl.when(nxt < start)
+                    def _():
+                        dma_hf(nxt, 1 - slot).start()
+                dma_hf(c, slot).wait()
+                cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
+                onehot = (src == cols).astype(f32)
+                acc_ref[:] += jnp.dot(onehot, hf_buf[slot], preferred_element_type=f32)[:, :D]
+        return acc_ref[:]
+
+    hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
+
+    # ---------- recompute forward intermediates ----------------------------
+    kv = jnp.dot(hf_src, wkv_hf_ref[:], preferred_element_type=f32)
+    eo_edge = [(e_edge == t).astype(f32) for t in range(T)]
+    khf = _select(kv[:, : T * D], eo_edge, T, D)
+    vhf = _select(kv[:, T * D :], eo_edge, T, D)
+    wa = jnp.zeros((Ep, D), f32)
+    for t in range(T):
+        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :]
+    score = score_static + jnp.sum(khf * wa, axis=-1, keepdims=True)
+    v = vhs + vhf
+
+    slots = jax.lax.broadcasted_iota(jnp.int32, (Ep, Np), 1)
+    inc = (dslot == slots) & evalid
+    inc_f = inc.astype(f32)
+    score_m = jnp.where(evalid, score, -1e30)
+    smax = jnp.maximum(jnp.max(jnp.where(inc, score, -1e30), axis=0, keepdims=True), -1e30)
+    shifted = jnp.clip(score_m - jnp.sum(inc_f * smax, axis=1, keepdims=True), -80.0, 0.0)
+    ex_s = jnp.exp(shifted) * evf
+    denom = jnp.sum(ex_s * inc_f, axis=0, keepdims=True) + 1e-16
+    den_edge = jnp.sum(inc_f * denom, axis=1, keepdims=True)
+    attn = ex_s / jnp.where(den_edge > 0, den_edge, 1.0)
+    msg = jax.lax.dot_general(inc_f, v * attn, dimension_numbers=_DN_T, preferred_element_type=f32)
+
+    eo_n = [(e_n == t).astype(f32) for t in range(T)]
+    gi = _select(jnp.dot(msg, w_ih_ref[:], preferred_element_type=f32), eo_n, T, 3 * D)
+    bi = jnp.zeros((Np, 3 * D), f32)
+    bh = jnp.zeros((Np, 3 * D), f32)
+    for t in range(T):
+        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :]
+        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :]
+    gi = gi + bi
+    r = jax.nn.sigmoid(gi[:, :D] + bh[:, :D])
+    z = jax.nn.sigmoid(gi[:, D : 2 * D] + bh[:, D : 2 * D])
+    nw = jnp.tanh(gi[:, 2 * D :] + r * bh[:, 2 * D :])
+
+    # ---------- g = ghf[level nodes] (chunks overlapping the level range) --
+    def body_g(acc_ref):
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        for c in chunks:
+
+            @pl.when((start < c + n_chunk) & (start + Np > c))
+            def _(c=c):
+                cp = pltpu.make_async_copy(
+                    ghf_hbm_ref.at[pl.ds(c, n_chunk), :], g_buf.at[0], g_sem.at[0]
+                )
+                cp.start()
+                cp.wait()
+                cols = jax.lax.broadcasted_iota(jnp.int32, (Np, n_chunk), 1) + c
+                onehot = (nodes == cols).astype(f32)
+                acc_ref[:] += jnp.dot(onehot, g_buf[0], preferred_element_type=f32)[:, :D]
+        return acc_ref[:]
+
+    g = pl.run_scoped(body_g, pltpu.VMEM((Np, D), f32)) * upd
+
+    dnw = g * (1.0 - z)
+    dz = -g * nw
+    dnu = dnw * (1.0 - nw * nw)
+    dr = dnu * bh[:, 2 * D :]
+    dzeta = dz * z * (1.0 - z)
+    drho = dr * r * (1.0 - r)
+    dgi = jnp.concatenate([drho, dzeta, dnu], axis=1)
+    dbh = jnp.concatenate([drho, dzeta, dnu * r], axis=1)
+
+    dmsg = jnp.zeros((Np, D), f32)
+    for t in range(T):
+        m = eo_n[t] * dgi
+        dwih_ref[:, t * 3 * D : (t + 1) * 3 * D] += jax.lax.dot_general(
+            msg, m, dimension_numbers=_DN_T, preferred_element_type=f32)
+        dbih_ref[t : t + 1, :] += jnp.sum(m, axis=0, keepdims=True)
+        dbhh_ref[t : t + 1, :] += jnp.sum(eo_n[t] * dbh, axis=0, keepdims=True)
+        dmsg = dmsg + jax.lax.dot_general(
+            m, w_ih_ref[:, t * 3 * D : (t + 1) * 3 * D],
+            dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    per_edge = jnp.dot(inc_f, dmsg, preferred_element_type=f32)
+    dv = attn * per_edge
+    dattn = jnp.sum(v * per_edge, axis=-1, keepdims=True)
+    s_grp = jnp.sum((attn * dattn) * inc_f, axis=0, keepdims=True)
+    dscore = attn * (dattn - jnp.sum(inc_f * s_grp, axis=1, keepdims=True))
+    dscore = dscore * evf
+
+    dkhf = dscore * wa
+    for t in range(T):
+        dwak_ref[t : t + 1, :] += jnp.sum(eo_edge[t] * dscore * khf, axis=0, keepdims=True)
+
+    dk_blocks = [eo_edge[t] * dkhf for t in range(T)]
+    dv_blocks = [eo_edge[t] * dv for t in range(T)]
+    dkv = jnp.concatenate(dk_blocks + dv_blocks, axis=1)
+    dwkv_ref[:] += jax.lax.dot_general(
+        hf_src, dkv, dimension_numbers=_DN_T, preferred_element_type=f32)
+    dhf_src = jax.lax.dot_general(
+        dkv, wkv_hf_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+
+    zeros_rest = jnp.zeros((Ep, pack.shape[1] - D - 1), f32)
+    dpack_ref[0] = jnp.concatenate([dv, dscore, zeros_rest], axis=1)
+
+    # ---------- RMW scatter of dhf_src into the ghf prefix -----------------
+    dhf_w = (
+        jnp.concatenate([dhf_src, jnp.zeros((Ep, DW - D), f32)], axis=1)
+        if DW > D else dhf_src
+    )
+    for c in chunks:
+
+        @pl.when(c < start)
+        def _(c=c):
+            cp_in = pltpu.make_async_copy(
+                ghf_hbm_ref.at[pl.ds(c, n_chunk), :], g_buf.at[0], g_sem.at[0]
+            )
+            cp_in.start()
+            cp_in.wait()
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
+            onehot = ((src == cols) & evalid).astype(f32)
+            g_buf[0] += jax.lax.dot_general(
+                onehot, dhf_w, dimension_numbers=_DN_T, preferred_element_type=f32
+            )
+            cp_out = pltpu.make_async_copy(
+                g_buf.at[0], ghf_hbm_ref.at[pl.ds(c, n_chunk), :], g_sem.at[1]
+            )
+            cp_out.start()
+            cp_out.wait()
+
+
+# ---------------------------------------------------------------------------
+# custom VJP for the HBM variant: giant single graphs TRAIN through the
+# fused kernel too (f32 only)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def pallas_level_scan_hbm(
+    pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    num_nodes, dim, num_experts, interpret,
+):
+    return fused_level_scan_hbm(
+        pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+        wkv_hf, w_ih, b_ih, b_hh, wa_k,
+        num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+    )
+
+
+def _hbm_vjp_fwd(
+    pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    num_nodes, dim, num_experts, interpret,
+):
+    hf_pad = _level_scan_hbm_padded(
+        pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+        wkv_hf, w_ih, b_ih, b_hh, wa_k,
+        num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+    )
+    res = (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+           wkv_hf, w_ih, b_ih, b_hh, wa_k, hf_pad)
+    return hf_pad[:, :dim], res
+
+
+def _hbm_vjp_bwd(num_nodes, dim, num_experts, interpret, res, ghf):
+    (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+     wkv_hf, w_ih, b_ih, b_hh, wa_k, hf_pad) = res
+    DW = hf_pad.shape[1]
+    ghf_pad = jnp.pad(ghf, ((0, 0), (0, DW - dim))) if DW > dim else ghf
+    d_pack, d_wkv, d_wih, d_bih, d_bhh, d_wak = fused_level_scan_hbm_bwd(
+        ghf_pad, hf_pad,
+        pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+        wkv_hf, w_ih, b_ih, b_hh, wa_k,
+        num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+    )
+    import numpy as _np
+
+    zint = lambda a: _np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (d_pack, zint(lv_src), zint(lv_dslot), zint(lv_evalid),
+            zint(lv_nodes), zint(lv_upd), zint(lv_e_n),
+            d_wkv, d_wih, d_bih, d_bhh, d_wak)
+
+
+pallas_level_scan_hbm.defvjp(_hbm_vjp_fwd, _hbm_vjp_bwd)

@@ -48,13 +48,19 @@ def _auto_pallas(batch, cfg: DGConfig) -> bool:
     kernel_fits."""
     if cfg.num_rounds != 1 or jax.default_backend() != "tpu":
         return False
-    from ..ops.pallas.level_kernel import kernel_fits
+    from ..ops.pallas.level_kernel import kernel_fits, kernel_fits_hbm_bwd
 
     lv = batch["lv_nodes"]
     num_chunks = lv.shape[0] if lv.ndim == 3 else 1
-    return kernel_fits(
-        batch["gate"].shape[0] // num_chunks, batch["lv_edge_src"].shape[-1],
-        lv.shape[-1], cfg.dim_hidden,
+    n_sub = batch["gate"].shape[0] // num_chunks
+    ep, np_ = batch["lv_edge_src"].shape[-1], lv.shape[-1]
+    if kernel_fits(n_sub, ep, np_, cfg.dim_hidden):
+        return True
+    # giant single graphs: HBM-streamed variant, fwd + bwd
+    return (
+        num_chunks == 1
+        and cfg.compute_dtype == "float32"
+        and kernel_fits_hbm_bwd(n_sub, ep, np_, cfg.dim_hidden)
     )
 
 
