@@ -66,7 +66,11 @@ def run_modality(modality: str, work: str, seed: int):
     rows = []
     for l in lines:
         m = re.search(r"Recon: ([\d.]+) \|ACC: ([\d.]+) \|Prob: ([\d.]+) \|Func: ([\d.]+)", l)
+        if m is None:  # e.g. a diverged run printing nan
+            print(f"[WARN] unparsable log line: {l.strip()}")
+            continue
         rows.append(tuple(float(x) for x in m.groups()))
+    assert rows, "no parsable train| lines"
     return rows
 
 

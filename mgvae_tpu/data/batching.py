@@ -414,7 +414,7 @@ def shard_dims(graphs: list[CircuitGraph], mp: int = 1) -> dict | None:
 
 
 def collate_shards(shards: list[list[CircuitGraph]], mp: int = 1,
-                   dims: dict | None = None) -> dict:
+                   dims: dict | None = None, num_chunks: int = 1) -> dict:
     """Collate one shard per device with COMMON padded dims and stack a
     leading 'dp' axis — the host-side half of shard_map data parallelism
     (the DistributedSampler equivalent, trainer.py:179-192). ``mp`` passes
@@ -424,6 +424,22 @@ def collate_shards(shards: list[list[CircuitGraph]], mp: int = 1,
     running dataset-wide max so every step hits ONE compiled shape).
     Otherwise, with the native lib, per-shard dims come from a cheap stats
     pass and every shard collates straight into the agreed shapes."""
+    if num_chunks > 1:
+        # dp x chunked composition: each device's shard is itself C
+        # sub-batches; leaves stack to [dp, C, L, ...] etc. and the train
+        # step's per-device slice is a normal chunked batch
+        if dims is None:
+            pre = [chunked_shard_dims(s, num_chunks) for s in shards]
+            if all(d is not None for d in pre):
+                dims = {k: max(d[k] for d in pre) for k in pre[0]}
+            else:
+                # numpy fallback (no native lib): trial-collate each shard
+                # and take the elementwise max of the per-chunk dims
+                trials = [collate_chunked(s, num_chunks) for s in shards]
+                per = [_chunked_dims_of(b, num_chunks) for b in trials]
+                dims = {k: max(d[k] for d in per) for k in per[0]}
+        batches = [collate_chunked(s, num_chunks, dims=dims) for s in shards]
+        return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
     if dims is not None:
         batches = [collate(s, dims=dims, mp=mp) for s in shards]
         return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
@@ -443,7 +459,50 @@ def collate_shards(shards: list[list[CircuitGraph]], mp: int = 1,
     return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
 
 
-def collate_chunked(graphs: list[CircuitGraph], num_chunks: int) -> dict:
+def _partition_chunks(graphs: list[CircuitGraph], num_chunks: int) -> list[list[int]]:
+    """Greedy node-count balance into num_chunks bins, deterministic, input
+    order preserved within each bin."""
+    assert len(graphs) >= num_chunks, "fewer graphs than chunks"
+    order = sorted(range(len(graphs)), key=lambda i: -graphs[i].num_nodes)
+    bins: list[list[int]] = [[] for _ in range(num_chunks)]
+    loads = [0] * num_chunks
+    for gi in order:
+        k = loads.index(min(loads))
+        bins[k].append(gi)
+        loads[k] += graphs[gi].num_nodes
+    for b in bins:
+        b.sort()
+    return bins
+
+
+def _chunked_dims_of(batch: dict, C: int) -> dict:
+    """Per-chunk padded dims of an existing chunked batch."""
+    return {
+        "N": batch["gate"].shape[0] // C,
+        "E": batch["edge_src"].shape[0] // C,
+        "P": batch["tt_pair_a"].shape[0] // C,
+        "L": batch["lv_nodes"].shape[1],
+        "NP": batch["lv_nodes"].shape[2],
+        "EP": batch["lv_edge_src"].shape[2],
+        "EBF": batch["fa_src"].shape[1],
+        "EBR": batch["ra_src"].shape[1],
+    }
+
+
+def chunked_shard_dims(graphs: list[CircuitGraph], num_chunks: int) -> dict | None:
+    """Per-CHUNK dims collate_chunked would use (native stats pass), for
+    agreeing dims across devices before chunked collation."""
+    if num_chunks == 1:
+        return shard_dims(graphs)
+    bins = _partition_chunks(graphs, num_chunks)
+    pre = [shard_dims([graphs[i] for i in b]) for b in bins]
+    if any(d is None for d in pre):
+        return None
+    return {k: max(d[k] for d in pre) for k in pre[0]}
+
+
+def collate_chunked(graphs: list[CircuitGraph], num_chunks: int,
+                    dims: dict | None = None) -> dict:
     """Partition graphs into ``num_chunks`` balanced groups, collate each
     with COMMON padded dims, and merge into ONE batch whose node space is the
     concatenation of the chunks (chunk k occupies rows
@@ -467,24 +526,15 @@ def collate_chunked(graphs: list[CircuitGraph], num_chunks: int) -> dict:
     """
     assert graphs and num_chunks >= 1
     if num_chunks == 1:
-        return collate(graphs)
-    assert len(graphs) >= num_chunks, "fewer graphs than chunks"
-    # greedy balance by node count, preserving determinism
-    order = sorted(range(len(graphs)), key=lambda i: -graphs[i].num_nodes)
-    bins: list[list[int]] = [[] for _ in range(num_chunks)]
-    loads = [0] * num_chunks
-    for gi in order:
-        k = loads.index(min(loads))
-        bins[k].append(gi)
-        loads[k] += graphs[gi].num_nodes
-    for b in bins:
-        b.sort()  # input order within a chunk
-
+        return collate(graphs, dims=dims)
+    bins = _partition_chunks(graphs, num_chunks)
     groups = [[graphs[i] for i in b] for b in bins]
-    pre = [shard_dims(g) for g in groups]
-    if all(d is not None for d in pre):
-        common = {k: max(d[k] for d in pre) for k in pre[0]}
-        batches = [collate(g, dims=common) for g in groups]
+    if dims is None:
+        pre = [shard_dims(g) for g in groups]
+        if all(d is not None for d in pre):
+            dims = {k: max(d[k] for d in pre) for k in pre[0]}
+    if dims is not None:
+        batches = [collate(g, dims=dims) for g in groups]
     else:
         batches = [collate(g) for g in groups]
         shapes = {
@@ -571,13 +621,23 @@ def collate_chunked(graphs: list[CircuitGraph], num_chunks: int) -> dict:
 
 def collate_fit(
     graphs: list[CircuitGraph],
-    max_nodes: int = 8192,
-    max_ep: int = 512,
-    max_np: int = 512,
+    max_nodes: int | None = None,
+    max_ep: int | None = None,
+    max_np: int | None = None,
 ) -> dict:
     """Collate with the smallest chunking whose per-chunk padded dims fit the
     fused kernel's VMEM gate (ops/pallas/level_kernel.kernel_fits) — C=1
-    (plain collate) when the batch already fits."""
+    (plain collate) when the batch already fits. Defaults come from the
+    kernel's own gate constants (lazy import keeps the data layer jax-free
+    unless this function is used)."""
+    if max_nodes is None or max_ep is None or max_np is None:
+        from ..ops.pallas.level_kernel import (
+            KERNEL_MAX_EP, KERNEL_MAX_NODES, KERNEL_MAX_NP,
+        )
+
+        max_nodes = KERNEL_MAX_NODES if max_nodes is None else max_nodes
+        max_ep = KERNEL_MAX_EP if max_ep is None else max_ep
+        max_np = KERNEL_MAX_NP if max_np is None else max_np
     b = collate(graphs)
     if (
         b["gate"].shape[0] <= max_nodes
@@ -589,9 +649,14 @@ def collate_fit(
     biggest = max(g.num_nodes for g in graphs)
     last = None
     for c in range(2, len(graphs) + 1):
-        # cheap lower-bound reject before paying for a collate
+        # cheap lower-bound reject before paying for a stats pass
         per = max(biggest + 1, (total + c) // c)
         if _round_up(bucket(per), BLOCK_D) > max_nodes and c < len(graphs):
+            continue
+        d = chunked_shard_dims(graphs, c)
+        if d is not None:  # native stats: probe without collating
+            if d["N"] <= max_nodes and d["EP"] <= max_ep and d["NP"] <= max_np:
+                return collate_chunked(graphs, c, dims=d)
             continue
         last = collate_chunked(graphs, c)
         if (
@@ -600,6 +665,8 @@ def collate_fit(
             and last["lv_nodes"].shape[2] <= max_np
         ):
             return last
+    if last is None:
+        last = collate_chunked(graphs, len(graphs))
     return last if last is not None else b
 
 

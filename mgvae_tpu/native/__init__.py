@@ -29,6 +29,14 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    src = os.path.join(_DIR, "mgvae_native.cpp")
+    try:
+        return os.path.getmtime(_SO) < os.path.getmtime(src)
+    except OSError:
+        return True
+
+
 def get_lib():
     global _lib
     if _lib is not None:
@@ -36,14 +44,28 @@ def get_lib():
     if os.environ.get("MGVAE_NO_NATIVE"):
         _lib = False
         return None
-    if not os.path.exists(_SO) and not _build():
-        _lib = False
-        return None
+    # rebuild when missing OR older than the source (a stale .so from an
+    # earlier checkout would be missing newer symbols)
+    if (not os.path.exists(_SO) or _stale()) and not _build():
+        if not os.path.exists(_SO):
+            _lib = False
+            return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
         _lib = False
         return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # .so predates newer entry points and could not be rebuilt
+        _lib = False
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib):
     lib.mg_levelize.restype = ctypes.c_int64
     lib.mg_levelize.argtypes = [
         ctypes.c_int64, ctypes.c_int64,
@@ -78,8 +100,6 @@ def get_lib():
         i32p, i32p, u8p,
         f32p, f32p,
     ]
-    _lib = lib
-    return lib
 
 
 def _i32p(a):

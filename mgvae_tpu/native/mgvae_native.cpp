@@ -252,7 +252,7 @@ int32_t mg_collate_fill(
   int32_t lv_real = 0;
   for (int64_t v = 0; v < n; ++v)
     if (fwd[v] > lv_real) lv_real = fwd[v];
-  if (lv_real + 1 > L + 1 && lv_real > L) return -1;
+  if (lv_real > L) return -1;  // level tables hold update levels 1..L
   std::vector<int64_t> lcnt(lv_real + 2, 0);
   for (int64_t v = 0; v < n; ++v) lcnt[fwd[v]]++;
   std::vector<int64_t> starts(lv_real + 2, 0);

@@ -52,11 +52,22 @@ def _pick_chunk(ep: int, n: int, budget: int = _CHUNK_BYTES) -> int:
 _DN_T = (((0,), (0,)), ((), ()))
 
 
+# VMEM gate for the resident variant — the single source of truth
+# (data/batching.collate_fit and the trainer's chunk picker reference these)
+KERNEL_MAX_NODES = 8192
+KERNEL_MAX_EP = 512
+KERNEL_MAX_NP = 512
+
+
 def kernel_fits(num_nodes: int, ep: int, np_: int, dim: int) -> bool:
     """Conservative VMEM gate: hf + one-hot blocks + incidence must fit.
     Empirically bs16-class batches (N<=8k, Ep<=512) compile and win ~2x;
-    larger batches exceed VMEM and take the XLA scan path."""
-    return num_nodes <= 8192 and ep <= 512 and np_ <= 512 and dim <= 128
+    larger batches get CHUNKED (collate_fit) or stream through HBM. NOTE
+    raising these bounds is not free speed: an unchunked bs64 (N=20480)
+    compiles with a raised vmem limit but measures SLOWER than chunked —
+    chunking reduces total one-hot gather work, not just VMEM."""
+    return (num_nodes <= KERNEL_MAX_NODES and ep <= KERNEL_MAX_EP
+            and np_ <= KERNEL_MAX_NP and dim <= 128)
 
 
 def _round_up(x, m):
@@ -132,6 +143,7 @@ def fused_level_scan(
         ],
         out_specs=pl.BlockSpec((N, D), lambda i: (i // (L // LPS), 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C * N, D), pack_lv.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lv_start, pack_lv, edge_tbl, node_tbl,
       wkv_hf, w_ih, b_ih, b_hh, wa_k)

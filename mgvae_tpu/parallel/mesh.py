@@ -40,7 +40,14 @@ def maybe_initialize_distributed():
     addr = env("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
     nproc = env("NUM_PROCESSES", "JAX_NUM_PROCESSES")
     pid = env("PROCESS_ID", "JAX_PROCESS_ID")
-    if addr is not None and nproc is not None and pid is not None:
+    if addr is not None:
+        # fail LOUDLY on a partial launch config: silently proceeding
+        # single-process would make every host chief and skip grad sync
+        if nproc is None or pid is None:
+            raise RuntimeError(
+                "COORDINATOR_ADDRESS is set but NUM_PROCESSES/PROCESS_ID are "
+                "missing — set all three (see examples/run_multihost.sh)"
+            )
         jax.distributed.initialize(
             coordinator_address=addr, num_processes=int(nproc), process_id=int(pid)
         )

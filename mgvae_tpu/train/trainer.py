@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.batching import collate, collate_fit, collate_shards
+from ..data.batching import collate, collate_chunked, collate_fit, collate_shards
 from ..models.dg_ae import DGConfig, init_params
 from ..parallel.mesh import make_dp_mesh
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
@@ -66,6 +66,11 @@ class Trainer:
         # running max only grows, so recompiles are O(log) per dim.
         self.fixed_dims = fixed_dims
         self._dims_max: dict = {}
+        # graphs-per-collation-chunk: resolved on first use (None). With
+        # fixed dims, batches whose padded dims exceed the fused kernel's
+        # VMEM gate are collated as C sub-batches (collate_chunked) so
+        # training still rides the kernel's (chunk, level) grid.
+        self._chunks: int | None = None
         # Tracing/profiling subsystem (the reference has only wall-clock
         # meters, SURVEY.md §5.1): when set, epoch 0 of every train() call is
         # captured with jax.profiler into trace_dir (view with tensorboard
@@ -170,11 +175,13 @@ class Trainer:
         if self.fixed_dims:
             dims = self._update_dims_max(dataset, idx, n_steps, step_graphs)
 
+        C = self._chunks or 1
+
         def make(s):
             chunk = [dataset[i] for i in idx[s * step_graphs : (s + 1) * step_graphs]]
             if self.mesh is not None:
                 shards = [chunk[d * self.batch_size : (d + 1) * self.batch_size] for d in range(self.num_devices)]
-                batch = collate_shards(shards, dims=dims)
+                batch = collate_shards(shards, dims=dims, num_chunks=C)
                 if multihost:
                     batch = self._globalize(batch)
                 return batch
@@ -182,6 +189,8 @@ class Trainer:
                 # auto-chunk big batches so training rides the fused kernel's
                 # (chunk, level) grid instead of falling back to the XLA scan
                 return collate_fit(chunk)
+            if C > 1:
+                return collate_chunked(chunk, C, dims=dims)
             return collate(chunk, dims=dims)
 
         # background-thread prefetch: host-side collation (python/numpy)
@@ -212,21 +221,73 @@ class Trainer:
     def _update_dims_max(self, dataset, idx, n_steps, step_graphs):
         """Grow the running dims max over this epoch's actual shards (cheap
         native stats pass per shard; falls back to dynamic shapes when the
-        native lib is unavailable). Returns the dims to collate with, or
-        None to keep per-batch natural dims."""
-        from ..data.batching import shard_dims
+        native lib is unavailable). On the first call, also picks the
+        chunking degree: the smallest C whose per-chunk dims fit the fused
+        kernel's VMEM gate. Returns the dims to collate with, or None to
+        keep per-batch natural dims."""
+        from ..data.batching import chunked_shard_dims
 
         per = self.batch_size if self.mesh is not None else step_graphs
-        for s in range(n_steps):
-            chunk_idx = idx[s * step_graphs : (s + 1) * step_graphs]
-            for d in range(0, len(chunk_idx), per):
-                shard = [dataset[i] for i in chunk_idx[d : d + per]]
-                sd = shard_dims(shard)
-                if sd is None:
-                    return None  # no native lib: stay dynamic
-                for k, v in sd.items():
-                    if v > self._dims_max.get(k, 0):
-                        self._dims_max[k] = v
+
+        def scan_dims(C, steps):
+            dmax = {}
+            for s in steps:
+                chunk_idx = idx[s * step_graphs : (s + 1) * step_graphs]
+                for d in range(0, len(chunk_idx), per):
+                    shard = [dataset[i] for i in chunk_idx[d : d + per]]
+                    sd = chunked_shard_dims(shard, C)
+                    if sd is None:
+                        return None  # no native lib: stay dynamic
+                    for k, v in sd.items():
+                        if v > dmax.get(k, 0):
+                            dmax[k] = v
+            return dmax
+
+        def pick_chunks():
+            """Smallest C whose per-chunk dims fit the fused kernel's gate —
+            probed on the FIRST step only (the running max self-heals if a
+            later dataset/shard outgrows the choice)."""
+            if jax.default_backend() != "tpu" or self.model_cfg.num_rounds != 1:
+                return 1
+            from ..ops.pallas.level_kernel import kernel_fits
+
+            for C in (1, 2, 3, 4, 6, 8):
+                if C > max(per // 2, 1):
+                    break
+                dmax = scan_dims(C, range(min(n_steps, 1)))
+                if dmax is None:
+                    return None
+                if kernel_fits(dmax["N"], dmax["EP"], dmax["NP"],
+                               self.model_cfg.dim_hidden):
+                    if self.is_chief and C > 1:
+                        print(f"[INFO] fixed-dims: collating each shard as {C} kernel-sized chunks")
+                    return C
+            return 1
+
+        if self._chunks is None:
+            self._chunks = pick_chunks()
+            if self._chunks is None:
+                self._chunks = 1
+                return None  # no native lib: stay dynamic
+
+        dmax = scan_dims(self._chunks, range(n_steps))
+        if dmax is None:
+            return None
+        grew = any(v > self._dims_max.get(k, 0) for k, v in dmax.items())
+        for k, v in dmax.items():
+            if v > self._dims_max.get(k, 0):
+                self._dims_max[k] = v
+        # self-heal: if the running max outgrew the kernel gate (e.g. a later,
+        # larger dataset on the same Trainer), re-pick the chunking
+        if grew and jax.default_backend() == "tpu" and self.model_cfg.num_rounds == 1:
+            from ..ops.pallas.level_kernel import kernel_fits
+
+            if not kernel_fits(self._dims_max["N"], self._dims_max["EP"],
+                               self._dims_max["NP"], self.model_cfg.dim_hidden):
+                new_c = pick_chunks()
+                if new_c is not None and new_c != self._chunks:
+                    self._chunks = new_c
+                    self._dims_max = scan_dims(new_c, range(n_steps)) or {}
         return dict(self._dims_max)
 
     def _globalize(self, batch: dict) -> dict:

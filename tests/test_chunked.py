@@ -141,3 +141,29 @@ def test_chunked_train_step_runs():
     weights = jnp.asarray([1.0, 4.0, 2.0, 0.0])
     params, state, opt_state, m = train_step(params, state, opt_state, bc, jax.random.PRNGKey(1), weights)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_dp_x_chunked_train_step():
+    """dp-sharded batches whose shards are themselves chunked ([dp, C, L]
+    level tables): the shard_map train step's per-device slice is a normal
+    chunked batch."""
+    from jax.sharding import Mesh
+
+    from mgvae_tpu.data.batching import collate_shards
+    from mgvae_tpu.train.step import make_optimizer, make_train_step
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs[:2], ("dp",))
+    cfg = DGConfig(modality="mig", dim_hidden=32, s_rounds=1, t_rounds=1)
+    params, state = init_params(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    train_step, _ = make_train_step(cfg, optimizer, mesh, donate=False)
+    shards = [_graphs(6, seed=30 + d) for d in range(2)]
+    batch = jax.tree.map(jnp.asarray, collate_shards(shards, num_chunks=2))
+    assert batch["lv_nodes"].ndim == 4 and batch["lv_nodes"].shape[:2] == (2, 2)
+    weights = jnp.asarray([1.0, 4.0, 2.0, 0.0])
+    params, state, opt_state, m = train_step(
+        params, state, opt_state, batch, jax.random.PRNGKey(1), weights
+    )
+    assert np.isfinite(float(m["loss"]))
