@@ -19,6 +19,7 @@ from mgvae_tpu import (  # noqa: F401
 )
 from mgvae_tpu.data.levelize import levelize, return_order_info  # noqa: F401
 from mgvae_tpu.train.trainer_early_stop import EarlyTrainer  # noqa: F401
+from mgvae_tpu.data.dataset import Dataset  # noqa: F401
 from mgvae_tpu.train.trainer_balancer import BalancerTrainer  # noqa: F401
 from mgvae_tpu.train.trainer_gradnorm import GradNormTrainer  # noqa: F401
 from mgvae_tpu.train.gradnorm import GradNormConfig, BalancerConfig  # noqa: F401

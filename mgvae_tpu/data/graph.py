@@ -45,6 +45,11 @@ class CircuitGraph:
     prob: np.ndarray          # [N] float32 signal probability labels
     tt_pair_index: np.ndarray  # [2, P] int64 node pairs with truth-table labels
     tt_dis: np.ndarray        # [P] float32 pairwise truth-table distance/similarity
+    # DeepGate2-style extras carried by the legacy Dataset front-end
+    # (data/dataset.py; the reference's dataset.py labels): optional.
+    min_tt_dis: np.ndarray | None = None   # [P] float32
+    rc_pair_index: np.ndarray | None = None  # [2, R] int64 reconvergence pairs
+    is_rc: np.ndarray | None = None        # [R] float32 0/1 labels
 
     @property
     def num_nodes(self) -> int:

@@ -106,3 +106,56 @@ def test_aiger_ascii_and_binary_equivalent(tmp_path):
     assert g.num_nodes == 9
     assert (g.gate == 2).sum() == 4
     assert (g.gate == 1).sum() == 3
+
+
+def test_legacy_dataset_front_end(tmp_path):
+    """deepgate.Dataset (DeepGate2-style, dead in the reference — quirk 13)
+    rebuilt working: rc/min_tt labels, small_train/no_rc knobs, caching."""
+    import types
+
+    from mgvae_tpu.data.dataset import Dataset
+    from mgvae_tpu.data.synthetic import random_circuit
+
+    rng = np.random.default_rng(3)
+    circuits, labels = {}, {}
+    for i in range(5):
+        g = random_circuit(rng, "mig", num_inputs=4, num_gates=24, num_tt_pairs=8)
+        n = g.num_nodes
+        x = np.zeros((n, 2), dtype=np.int64)
+        x[:, 1] = g.gate
+        circuits[f"c{i}"] = {"x": x, "edge_index": g.edge_index.T}
+        labels[f"c{i}"] = {
+            "tt_dis": g.tt_dis, "tt_pair_index": g.tt_pair_index.T,
+            "min_tt_dis": g.tt_dis * 0.5, "prob": g.prob,
+            "rc_pair_index": np.asarray([[0, 1], [1, 2]]),
+            "is_rc": np.asarray([1.0, 0.0]),
+        }
+
+    def obj(d):
+        a = np.empty((), dtype=object)
+        a[()] = d
+        return a
+
+    np.savez(tmp_path / "graphs.npz", circuits=obj(circuits))
+    np.savez(tmp_path / "labels.npz", labels=obj(labels))
+
+    args = types.SimpleNamespace(
+        data_dir=str(tmp_path), circuit_file="graphs.npz", label_file="labels.npz",
+        small_train=False, no_rc=False, reload_dataset=False,
+    )
+    ds = Dataset(str(tmp_path), args)
+    assert len(ds) == 5
+    g = ds[0]
+    assert g.rc_pair_index.shape == (2, 2) and g.is_rc.shape == (2,)
+    assert g.min_tt_dis is not None and g.min_tt_dis.shape == g.tt_dis.shape
+    # cache hit second time; no_rc variant gets its own cache + dummy labels
+    ds2 = Dataset(str(tmp_path), args)
+    assert len(ds2) == 5
+    args_norc = types.SimpleNamespace(**{**vars(args), "no_rc": True})
+    ds3 = Dataset(str(tmp_path), args_norc)
+    assert float(ds3[0].is_rc.sum()) == 0.0
+    # the graphs feed the standard pipeline (extras ignored by collate)
+    from mgvae_tpu.data.batching import collate
+
+    b = collate(ds.graphs[:2])
+    assert b["gate"].shape[0] > 0
