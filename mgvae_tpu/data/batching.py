@@ -22,8 +22,12 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.hostmem import tune_malloc
 from .graph import CircuitGraph
 
+# batch buffers are a few MB and re-allocated per step: keep them on the
+# glibc heap instead of mmap round trips (~2.4x collate_shards; see hostmem)
+tune_malloc()
 
 BLOCK_D = 128  # dst-block width for blocked-CSR aggregation (one MXU tile)
 
@@ -44,7 +48,8 @@ def bucket(x: int, minimum: int = 8) -> int:
     raise AssertionError
 
 
-def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1) -> dict:
+def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1,
+            out: dict | None = None) -> dict:
     """Disjoint-union + pad a list of circuits into one static-shape batch.
 
     Returns a dict of numpy arrays (see keys below); convert with
@@ -57,6 +62,11 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1) -
     Rounds N up to a multiple of mp*BLOCK_D and the level-edge axis EP up to
     a multiple of mp so the sharded forward's divisibility requirements hold
     by construction.
+
+    ``out``: optional dict of preallocated arrays matching this batch's
+    shapes (see collate_shards): every array key is written IN PLACE (the
+    returned dict aliases them), so a caller can collate straight into views
+    of a stacked multi-shard buffer with no second copy.
     """
     assert graphs, "empty batch"
     n_graphs = len(graphs)
@@ -84,7 +94,7 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1) -
     # host time — the process collates num_devices shards per step, which is
     # otherwise host-bound on a v5e-8 (27 ms/step numpy vs ~4 ms device step)
     nat = _collate_native(gate, fwd, prob, graph_id, edge, tt_pairs, tt_dis,
-                          n_graphs, n, e, p, dims, mp)
+                          n_graphs, n, e, p, dims, mp, out=out)
     if nat is not None:
         return nat
 
@@ -139,7 +149,7 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1) -
     perm_pad[:n] = node_perm
     inv_pad = np.arange(N, dtype=np.int32)
     inv_pad[:n] = inv_perm
-    out = {
+    res = {
         "node_perm": perm_pad,   # new id -> original id (padding: identity)
         "node_inv": inv_pad,     # original id -> new id
         "gate": _pad(gate.astype(np.int32), N),
@@ -188,7 +198,7 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1) -
             lv_edge_dst_slot[lv_of_edge - 1, erank] = slot_of[edge[1][eidx]]
             lv_edge_valid[lv_of_edge - 1, erank] = True
             lv_edge_id[lv_of_edge - 1, erank] = eidx
-    out.update(
+    res.update(
         lv_nodes=lv_nodes,
         lv_node_valid=lv_node_valid,
         lv_edge_src=lv_edge_src,
@@ -220,20 +230,53 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1) -
     if e:
         deg_in[: n] = np.bincount(edge[1], minlength=n)[:n]
         deg_out[: n] = np.bincount(edge[0], minlength=n)[:n]
-    out.update(
+    res.update(
         fa_src=fa_src, fa_slot=fa_slot, fa_valid=fa_valid,
         ra_src=ra_src, ra_slot=ra_slot, ra_valid=ra_valid,
         deg_in=deg_in, deg_out=deg_out,
     )
-    return out
+    if out is not None:  # no native lib: honor the in-place contract anyway
+        for k, v in res.items():
+            if isinstance(v, np.ndarray):
+                np.copyto(out[k], v)
+                res[k] = out[k]
+    return res
+
+
+_FILL_KEYS = {  # batch key -> collate_fill_native key
+    "node_perm": "perm", "node_inv": "inv",
+    "edge_src": "edge_src", "edge_dst": "edge_dst",
+    "lv_nodes": "lv_nodes", "lv_node_valid": "lv_node_valid",
+    "lv_edge_src": "lv_edge_src", "lv_edge_dst_slot": "lv_edge_dst_slot",
+    "lv_edge_valid": "lv_edge_valid", "lv_edge_id": "lv_edge_id",
+    "lv_start": "lv_start",
+    "fa_src": "fa_src", "fa_slot": "fa_slot", "fa_valid": "fa_valid",
+    "ra_src": "ra_src", "ra_slot": "ra_slot", "ra_valid": "ra_valid",
+    "deg_in": "deg_in", "deg_out": "deg_out",
+}
+
+
+def _pad_into(dst: np.ndarray, a: np.ndarray, fill=0) -> np.ndarray:
+    dst[: a.shape[0]] = a
+    dst[a.shape[0] :] = fill
+    return dst
+
+
+def _mask_into(dst: np.ndarray, k: int) -> np.ndarray:
+    dst[:k] = True
+    dst[k:] = False
+    return dst
 
 
 def _collate_native(gate, fwd, prob, graph_id, edge, tt_pairs, tt_dis,
-                    n_graphs, n, e, p, dims, mp):
+                    n_graphs, n, e, p, dims, mp, out=None):
     """C++-accelerated table construction (mgvae_tpu/native). Returns the
     full batch dict, or None when the native lib is unavailable (the numpy
     path in collate() is the always-available fallback and the reference
-    implementation for tests/test_native.py parity)."""
+    implementation for tests/test_native.py parity).
+
+    ``out``: optional dict of preallocated arrays (one per batch key) filled
+    in place — the zero-copy collate_shards path."""
     from ..native import collate_fill_native, collate_stats_native
 
     fwd32 = fwd.astype(np.int32, copy=False)
@@ -258,42 +301,45 @@ def _collate_native(gate, fwd, prob, graph_id, edge, tt_pairs, tt_dis,
         fwd32, edge[0], edge[1],
         {"N": N, "E": E, "L": L, "NP": NP, "EP": EP, "EBF": EBF, "EBR": EBR},
         BLOCK_D, dump,
+        out={fk: out[bk] for bk, fk in _FILL_KEYS.items()} if out is not None else None,
     )
     if t is None:
         return None
     perm_n = t["perm"][:n]
     inv = t["inv"]
-    out = {
-        "node_perm": t["perm"],
-        "node_inv": t["inv"],
-        "gate": _pad(gate[perm_n].astype(np.int32), N),
-        "node_valid": _mask(n, N),
-        "forward_level": _pad(fwd32[perm_n], N),
-        "graph_id": _pad(graph_id[perm_n], N, fill=-1),
-        "prob": _pad(prob[perm_n].astype(np.float32), N),
-        "edge_src": t["edge_src"],
-        "edge_dst": t["edge_dst"],
-        "edge_valid": _mask(e, E),
-        "tt_pair_a": _pad(inv[tt_pairs[0]].astype(np.int32) if p else np.zeros(0, np.int32), P),
-        "tt_pair_b": _pad(inv[tt_pairs[1]].astype(np.int32) if p else np.zeros(0, np.int32), P),
-        "tt_valid": _mask(p, P),
-        "tt_dis": _pad(tt_dis.astype(np.float32), P),
-        "n_nodes": np.int32(n),
-        "n_edges": np.int32(e),
-        "n_tt": np.int32(p),
-        "n_graphs": np.int32(n_graphs),
-        "lv_nodes": t["lv_nodes"],
-        "lv_node_valid": t["lv_node_valid"],
-        "lv_edge_src": t["lv_edge_src"],
-        "lv_edge_dst_slot": t["lv_edge_dst_slot"],
-        "lv_edge_valid": t["lv_edge_valid"],
-        "lv_edge_id": t["lv_edge_id"],
-        "lv_start": t["lv_start"],
-        "fa_src": t["fa_src"], "fa_slot": t["fa_slot"], "fa_valid": t["fa_valid"],
-        "ra_src": t["ra_src"], "ra_slot": t["ra_slot"], "ra_valid": t["ra_valid"],
-        "deg_in": t["deg_in"], "deg_out": t["deg_out"],
-    }
-    return out
+    tt_a = inv[tt_pairs[0]].astype(np.int32) if p else np.zeros(0, np.int32)
+    tt_b = inv[tt_pairs[1]].astype(np.int32) if p else np.zeros(0, np.int32)
+    if out is not None:
+        res = dict(out)
+        _pad_into(res["gate"], gate[perm_n].astype(np.int32))
+        _mask_into(res["node_valid"], n)
+        _pad_into(res["forward_level"], fwd32[perm_n])
+        _pad_into(res["graph_id"], graph_id[perm_n], fill=-1)
+        _pad_into(res["prob"], prob[perm_n].astype(np.float32))
+        _mask_into(res["edge_valid"], e)
+        _pad_into(res["tt_pair_a"], tt_a)
+        _pad_into(res["tt_pair_b"], tt_b)
+        _mask_into(res["tt_valid"], p)
+        _pad_into(res["tt_dis"], tt_dis.astype(np.float32))
+    else:
+        res = {bk: t[fk] for bk, fk in _FILL_KEYS.items()}
+        res.update(
+            gate=_pad(gate[perm_n].astype(np.int32), N),
+            node_valid=_mask(n, N),
+            forward_level=_pad(fwd32[perm_n], N),
+            graph_id=_pad(graph_id[perm_n], N, fill=-1),
+            prob=_pad(prob[perm_n].astype(np.float32), N),
+            edge_valid=_mask(e, E),
+            tt_pair_a=_pad(tt_a, P),
+            tt_pair_b=_pad(tt_b, P),
+            tt_valid=_mask(p, P),
+            tt_dis=_pad(tt_dis.astype(np.float32), P),
+        )
+    res.update(
+        n_nodes=np.int32(n), n_edges=np.int32(e),
+        n_tt=np.int32(p), n_graphs=np.int32(n_graphs),
+    )
+    return res
 
 
 def _blocked_tables(by, other, nb, dims_key, dump):
@@ -413,6 +459,43 @@ def shard_dims(graphs: list[CircuitGraph], mp: int = 1) -> dict | None:
     }
 
 
+_ALL_DIM_KEYS = ("N", "E", "P", "L", "NP", "EP", "EBF", "EBR")
+
+
+def stacked_batch_buffers(dp: int, dims: dict) -> dict:
+    """Uninitialized [dp, ...] buffers for ``dp`` shards collated at the
+    given padded dims — the destination of collate_shards' zero-copy path
+    (each shard is collated straight into ``buf[k][d]`` views)."""
+    N, E, P, L, NP, EP, EBF, EBR = (dims[k] for k in _ALL_DIM_KEYS)
+    nb = N // BLOCK_D
+
+    def a(shape, dt):
+        return np.empty((dp,) + shape, dt)
+
+    return {
+        "node_perm": a((N,), np.int32), "node_inv": a((N,), np.int32),
+        "gate": a((N,), np.int32), "node_valid": a((N,), bool),
+        "forward_level": a((N,), np.int32), "graph_id": a((N,), np.int32),
+        "prob": a((N,), np.float32),
+        "edge_src": a((E,), np.int32), "edge_dst": a((E,), np.int32),
+        "edge_valid": a((E,), bool),
+        "tt_pair_a": a((P,), np.int32), "tt_pair_b": a((P,), np.int32),
+        "tt_valid": a((P,), bool), "tt_dis": a((P,), np.float32),
+        "n_nodes": a((), np.int32), "n_edges": a((), np.int32),
+        "n_tt": a((), np.int32), "n_graphs": a((), np.int32),
+        "lv_nodes": a((L, NP), np.int32), "lv_node_valid": a((L, NP), bool),
+        "lv_edge_src": a((L, EP), np.int32),
+        "lv_edge_dst_slot": a((L, EP), np.int32),
+        "lv_edge_valid": a((L, EP), bool), "lv_edge_id": a((L, EP), np.int32),
+        "lv_start": a((L,), np.int32),
+        "fa_src": a((nb, EBF), np.int32), "fa_slot": a((nb, EBF), np.int32),
+        "fa_valid": a((nb, EBF), bool),
+        "ra_src": a((nb, EBR), np.int32), "ra_slot": a((nb, EBR), np.int32),
+        "ra_valid": a((nb, EBR), bool),
+        "deg_in": a((N,), np.float32), "deg_out": a((N,), np.float32),
+    }
+
+
 def collate_shards(shards: list[list[CircuitGraph]], mp: int = 1,
                    dims: dict | None = None, num_chunks: int = 1) -> dict:
     """Collate one shard per device with COMMON padded dims and stack a
@@ -441,13 +524,14 @@ def collate_shards(shards: list[list[CircuitGraph]], mp: int = 1,
         batches = [collate_chunked(s, num_chunks, dims=dims) for s in shards]
         return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
     if dims is not None:
+        if all(k in dims for k in _ALL_DIM_KEYS):
+            return _collate_shards_zero_copy(shards, dims, mp)
         batches = [collate(s, dims=dims, mp=mp) for s in shards]
         return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
     pre = [shard_dims(s, mp=mp) for s in shards]
     if all(d is not None for d in pre):
         common = {k: max(d[k] for d in pre) for k in pre[0]}
-        batches = [collate(s, dims=common, mp=mp) for s in shards]
-        return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+        return _collate_shards_zero_copy(shards, common, mp)
     batches = [collate(s, mp=mp) for s in shards]
     shapes = {
         k: tuple(max(b[k].shape[i] for b in batches) for i in range(b0[k].ndim))
@@ -457,6 +541,67 @@ def collate_shards(shards: list[list[CircuitGraph]], mp: int = 1,
     shapes = {k: v for k, v in shapes.items() if v is not None}
     batches = [_pad_batch_to(b, shapes) for b in batches]
     return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
+def _collate_shards_zero_copy(shards, dims: dict, mp: int) -> dict:
+    """Collate every shard directly into ONE stacked [dp, ...] buffer — no
+    per-shard allocations, no np.stack pass. With the native lib the WHOLE
+    step is a single C++ call (mg_collate_step) that parallelizes over
+    shards with std::thread (ctypes drops the GIL); otherwise each shard is
+    collated into views of the buffer (still skipping the stack copy)."""
+    big = stacked_batch_buffers(len(shards), dims)
+    if _collate_step_native(shards, dims, big) is not None:
+        return big
+    for d, s in enumerate(shards):
+        b = collate(s, dims=dims, mp=mp, out={k: big[k][d] for k in big})
+        for k in ("n_nodes", "n_edges", "n_tt", "n_graphs"):
+            big[k][d] = b[k]
+    return big
+
+
+def _collate_step_native(shards, dims: dict, big: dict):
+    """Concatenate the step's graphs (raw per-graph ids, shard order) and
+    hand the whole step to mg_collate_step. Returns ``big`` or None when the
+    native lib is unavailable."""
+    import os
+
+    from ..native import collate_step_native, get_lib
+
+    if get_lib() is None:
+        return None
+    graphs = [g for s in shards for g in s]
+    shard_graphs = np.array([len(s) for s in shards], np.int64)
+    graph_nodes = np.array([g.num_nodes for g in graphs], np.int64)
+    graph_edges = np.array([g.num_edges for g in graphs], np.int64)
+    graph_tt = np.array(
+        [g.tt_pair_index.shape[1] if g.tt_pair_index.size else 0 for g in graphs],
+        np.int64,
+    )
+    c = lambda arrs, dt: (
+        np.ascontiguousarray(np.concatenate(arrs), dtype=dt)
+        if arrs else np.zeros(0, dt)
+    )
+    gate_all = c([g.gate for g in graphs], np.int32)
+    fwd_all = c([g.forward_level for g in graphs], np.int32)
+    prob_all = c([g.prob for g in graphs], np.float32)
+    esrc_all = c([g.edge_index[0] for g in graphs if g.num_edges], np.int64)
+    edst_all = c([g.edge_index[1] for g in graphs if g.num_edges], np.int64)
+    tta_all = c([g.tt_pair_index[0] for g in graphs if g.tt_pair_index.size], np.int64)
+    ttb_all = c([g.tt_pair_index[1] for g in graphs if g.tt_pair_index.size], np.int64)
+    ttdis_all = c([g.tt_dis for g in graphs if g.tt_pair_index.size], np.float32)
+    threads = int(os.environ.get("MGVAE_COLLATE_THREADS", "0")) or min(
+        len(shards), os.cpu_count() or 1
+    )
+    out = collate_step_native(
+        shard_graphs, graph_nodes, graph_edges, graph_tt,
+        gate_all, fwd_all, prob_all, esrc_all, edst_all,
+        tta_all, ttb_all, ttdis_all, dims, BLOCK_D, big,
+        num_threads=threads,
+    )
+    if out is None:
+        return None
+    big["n_graphs"][:] = shard_graphs
+    return big
 
 
 def _partition_chunks(graphs: list[CircuitGraph], num_chunks: int) -> list[list[int]]:

@@ -21,7 +21,8 @@ def _build() -> bool:
     src = os.path.join(_DIR, "mgvae_native.cpp")
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _SO],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             src, "-o", _SO],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -100,6 +101,18 @@ def _bind(lib):
         i32p, i32p, u8p,
         f32p, f32p,
     ]
+    lib.mg_collate_step.restype = ctypes.c_int32
+    lib.mg_collate_step.argtypes = (
+        [ctypes.c_int64, i64p, i64p, i64p, i64p,
+         i32p, i32p, f32p, i64p, i64p, i64p, i64p, f32p]
+        + [ctypes.c_int64] * 10
+        + [i32p, i32p, i32p, u8p, i32p, i32p, f32p,
+           i32p, i32p, u8p,
+           i32p, i32p, u8p, f32p,
+           i32p, u8p, i32p, i32p, u8p, i32p, i32p,
+           i32p, i32p, u8p, i32p, i32p, u8p,
+           f32p, f32p, i32p, i32p, i32p]
+    )
 
 
 def _i32p(a):
@@ -132,10 +145,18 @@ def collate_stats_native(fwd: np.ndarray, esrc: np.ndarray, edst: np.ndarray, bl
     return tuple(int(x) for x in stats)
 
 
-def collate_fill_native(fwd, esrc, edst, dims: dict, block: int, dump: int):
+def collate_fill_native(fwd, esrc, edst, dims: dict, block: int, dump: int,
+                        out: dict | None = None):
     """Build all level/blocked tables in C++. Returns a dict of arrays or
     None if the native lib is unavailable. ``dims``: padded N/E/L/NP/EP/
-    EBF/EBR. Arrays match the numpy path exactly (tests/test_native.py)."""
+    EBF/EBR. Arrays match the numpy path exactly (tests/test_native.py).
+
+    ``out``: optional dict of PREALLOCATED C-contiguous arrays (same keys,
+    valid masks as bool) to fill in place — the zero-copy path used by
+    data/batching.collate_shards to write every shard straight into views
+    of one stacked [dp, ...] buffer instead of stacking copies after the
+    fact. Buffers are reinitialized here (the C++ side only writes live
+    entries)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -146,45 +167,103 @@ def collate_fill_native(fwd, esrc, edst, dims: dict, block: int, dump: int):
     edst = np.ascontiguousarray(edst, dtype=np.int64)
     N, E, L, NP, EP, EBF, EBR = (dims[k] for k in ("N", "E", "L", "NP", "EP", "EBF", "EBR"))
     nb = N // block
-    o = {
-        "perm": np.arange(N, dtype=np.int32),
-        "inv": np.arange(N, dtype=np.int32),
-        "edge_src": np.zeros(E, dtype=np.int32),
-        "edge_dst": np.zeros(E, dtype=np.int32),
-        "lv_nodes": np.full((L, NP), dump, dtype=np.int32),
-        "lv_node_valid": np.zeros((L, NP), dtype=np.uint8),
-        "lv_edge_src": np.full((L, EP), dump, dtype=np.int32),
-        "lv_edge_dst_slot": np.zeros((L, EP), dtype=np.int32),
-        "lv_edge_valid": np.zeros((L, EP), dtype=np.uint8),
-        "lv_edge_id": np.full((L, EP), E - 1, dtype=np.int32),
-        "lv_start": np.full(L, n, dtype=np.int32),
-        "fa_src": np.full((nb, EBF), dump, dtype=np.int32),
-        "fa_slot": np.zeros((nb, EBF), dtype=np.int32),
-        "fa_valid": np.zeros((nb, EBF), dtype=np.uint8),
-        "ra_src": np.full((nb, EBR), dump, dtype=np.int32),
-        "ra_slot": np.zeros((nb, EBR), dtype=np.int32),
-        "ra_valid": np.zeros((nb, EBR), dtype=np.uint8),
-        "deg_in": np.zeros(N, dtype=np.float32),
-        "deg_out": np.zeros(N, dtype=np.float32),
-    }
+    if out is None:
+        o = {
+            "perm": np.arange(N, dtype=np.int32),
+            "inv": np.arange(N, dtype=np.int32),
+            "edge_src": np.zeros(E, dtype=np.int32),
+            "edge_dst": np.zeros(E, dtype=np.int32),
+            "lv_nodes": np.full((L, NP), dump, dtype=np.int32),
+            "lv_node_valid": np.zeros((L, NP), dtype=bool),
+            "lv_edge_src": np.full((L, EP), dump, dtype=np.int32),
+            "lv_edge_dst_slot": np.zeros((L, EP), dtype=np.int32),
+            "lv_edge_valid": np.zeros((L, EP), dtype=bool),
+            "lv_edge_id": np.full((L, EP), E - 1, dtype=np.int32),
+            "lv_start": np.full(L, n, dtype=np.int32),
+            "fa_src": np.full((nb, EBF), dump, dtype=np.int32),
+            "fa_slot": np.zeros((nb, EBF), dtype=np.int32),
+            "fa_valid": np.zeros((nb, EBF), dtype=bool),
+            "ra_src": np.full((nb, EBR), dump, dtype=np.int32),
+            "ra_slot": np.zeros((nb, EBR), dtype=np.int32),
+            "ra_valid": np.zeros((nb, EBR), dtype=bool),
+            "deg_in": np.zeros(N, dtype=np.float32),
+            "deg_out": np.zeros(N, dtype=np.float32),
+        }
+    else:
+        o = out
+        # C++ writes only live entries; restore the padding defaults
+        o["perm"][:] = np.arange(N, dtype=np.int32)
+        o["inv"][:] = o["perm"]
+        for k in ("edge_src", "edge_dst", "lv_node_valid", "lv_edge_dst_slot",
+                  "lv_edge_valid", "fa_slot", "fa_valid", "ra_slot",
+                  "ra_valid", "deg_in", "deg_out"):
+            o[k].fill(0)
+        for k in ("lv_nodes", "lv_edge_src", "fa_src", "ra_src"):
+            o[k].fill(dump)
+        o["lv_edge_id"].fill(E - 1)
+        o["lv_start"].fill(n)
+    # bool arrays are byte-sized: pass them to C++ as uint8 views
+    u8 = lambda k: _u8p(o[k].view(np.uint8))
     r = lib.mg_collate_fill(
         n, _i32p(fwd), e, _i64p(esrc), _i64p(edst),
         E, L, NP, EP, EBF, EBR, block,
         _i32p(o["perm"]), _i32p(o["inv"]),
         _i32p(o["edge_src"]), _i32p(o["edge_dst"]),
-        _i32p(o["lv_nodes"]), _u8p(o["lv_node_valid"]),
+        _i32p(o["lv_nodes"]), u8("lv_node_valid"),
         _i32p(o["lv_edge_src"]), _i32p(o["lv_edge_dst_slot"]),
-        _u8p(o["lv_edge_valid"]), _i32p(o["lv_edge_id"]),
+        u8("lv_edge_valid"), _i32p(o["lv_edge_id"]),
         _i32p(o["lv_start"]),
-        _i32p(o["fa_src"]), _i32p(o["fa_slot"]), _u8p(o["fa_valid"]),
-        _i32p(o["ra_src"]), _i32p(o["ra_slot"]), _u8p(o["ra_valid"]),
+        _i32p(o["fa_src"]), _i32p(o["fa_slot"]), u8("fa_valid"),
+        _i32p(o["ra_src"]), _i32p(o["ra_slot"]), u8("ra_valid"),
         _f32p(o["deg_in"]), _f32p(o["deg_out"]),
     )
     if r != 0:
         raise AssertionError(f"mg_collate_fill failed: {r} (dims too small?)")
-    for k in ("lv_node_valid", "lv_edge_valid", "fa_valid", "ra_valid"):
-        o[k] = o[k].astype(bool)
     return o
+
+
+def collate_step_native(shard_graphs, graph_nodes, graph_edges, graph_tt,
+                        gate_all, fwd_all, prob_all, esrc_all, edst_all,
+                        tta_all, ttb_all, ttdis_all,
+                        dims: dict, block: int, big: dict,
+                        num_threads: int = 1):
+    """Collate a WHOLE data-parallel step (all dp shards) into the stacked
+    [dp, ...] buffers ``big`` with one C++ call (optionally multi-threaded
+    over shards — ctypes releases the GIL for the duration). Inputs are the
+    step's graphs concatenated in shard order with raw per-graph ids; see
+    data/batching._collate_shards_zero_copy for the (only) caller.
+    Returns ``big`` or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    dp = shard_graphs.shape[0]
+    N, E, P, L, NP, EP, EBF, EBR = (dims[k] for k in ("N", "E", "P", "L", "NP", "EP", "EBF", "EBR"))
+    u8 = lambda k: _u8p(big[k].view(np.uint8))
+    r = lib.mg_collate_step(
+        dp, _i64p(shard_graphs), _i64p(graph_nodes), _i64p(graph_edges),
+        _i64p(graph_tt),
+        _i32p(gate_all), _i32p(fwd_all), _f32p(prob_all),
+        _i64p(esrc_all), _i64p(edst_all),
+        _i64p(tta_all), _i64p(ttb_all), _f32p(ttdis_all),
+        N, E, P, L, NP, EP, EBF, EBR, block, num_threads,
+        _i32p(big["node_perm"]), _i32p(big["node_inv"]),
+        _i32p(big["gate"]), u8("node_valid"),
+        _i32p(big["forward_level"]), _i32p(big["graph_id"]),
+        _f32p(big["prob"]),
+        _i32p(big["edge_src"]), _i32p(big["edge_dst"]), u8("edge_valid"),
+        _i32p(big["tt_pair_a"]), _i32p(big["tt_pair_b"]), u8("tt_valid"),
+        _f32p(big["tt_dis"]),
+        _i32p(big["lv_nodes"]), u8("lv_node_valid"),
+        _i32p(big["lv_edge_src"]), _i32p(big["lv_edge_dst_slot"]),
+        u8("lv_edge_valid"), _i32p(big["lv_edge_id"]), _i32p(big["lv_start"]),
+        _i32p(big["fa_src"]), _i32p(big["fa_slot"]), u8("fa_valid"),
+        _i32p(big["ra_src"]), _i32p(big["ra_slot"]), u8("ra_valid"),
+        _f32p(big["deg_in"]), _f32p(big["deg_out"]),
+        _i32p(big["n_nodes"]), _i32p(big["n_edges"]), _i32p(big["n_tt"]),
+    )
+    if r != 0:
+        raise AssertionError(f"mg_collate_step failed: {r} (dims too small?)")
+    return big
 
 
 def levelize_native(edge_index: np.ndarray, num_nodes: int):

@@ -91,3 +91,60 @@ def test_native_collate_matches_numpy(monkeypatch):
             np.testing.assert_array_equal(
                 np.asarray(b_nat[k]), np.asarray(b_np[k]), err_msg=f"{modality}:{k}"
             )
+
+
+def test_native_collate_step_matches_per_shard(monkeypatch):
+    """The whole-step C++ collation (mg_collate_step, threaded) and the
+    per-shard zero-copy fallback must both match np.stack of per-shard
+    collate() exactly — mixed modalities, ragged sizes, empty tt lists."""
+    import mgvae_tpu.data.batching as B
+
+    rng = np.random.default_rng(11)
+    graphs = [
+        random_circuit(
+            rng, m, num_inputs=6,
+            num_gates=int(rng.integers(30, 200)),
+            num_tt_pairs=int(rng.integers(0, 24)),
+        )
+        for m, _ in zip(["mig", "aig", "xag", "xmg"] * 8, range(32))
+    ]
+    shards = [graphs[i * 8 : (i + 1) * 8] for i in range(4)]
+    pre = [B.natural_dims(s) for s in shards]
+    dims = {k: max(d[k] for d in pre) for k in pre[0]}
+    ref = {
+        k: np.stack([B.collate(s, dims=dims)[k] for s in shards])
+        for k in B.collate(shards[0], dims=dims)
+    }
+
+    got = B.collate_shards(shards, dims=dims)  # step-native when available
+    for k in ref:
+        assert ref[k].dtype == got[k].dtype and ref[k].shape == got[k].shape, k
+        np.testing.assert_array_equal(ref[k], got[k], err_msg=f"step:{k}")
+
+    with monkeypatch.context() as m:  # per-shard zero-copy route
+        m.setattr(B, "_collate_step_native", lambda *a, **k: None)
+        got2 = B.collate_shards(shards, dims=dims)
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], got2[k], err_msg=f"per-shard:{k}")
+
+
+@pytest.mark.skipif(not _have_native(), reason="native lib unavailable")
+def test_native_collate_step_multithreaded(monkeypatch):
+    """Shard-parallel std::thread execution must be deterministic (each
+    thread owns disjoint output slices)."""
+    import mgvae_tpu.data.batching as B
+
+    rng = np.random.default_rng(13)
+    graphs = [
+        random_circuit(rng, "mig", num_inputs=6, num_gates=64, num_tt_pairs=8)
+        for _ in range(32)
+    ]
+    shards = [graphs[i * 4 : (i + 1) * 4] for i in range(8)]
+    pre = [B.natural_dims(s) for s in shards]
+    dims = {k: max(d[k] for d in pre) for k in pre[0]}
+    monkeypatch.setenv("MGVAE_COLLATE_THREADS", "8")
+    a = B.collate_shards(shards, dims=dims)
+    monkeypatch.setenv("MGVAE_COLLATE_THREADS", "1")
+    b = B.collate_shards(shards, dims=dims)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
