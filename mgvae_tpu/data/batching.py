@@ -496,6 +496,72 @@ def stacked_batch_buffers(dp: int, dims: dict) -> dict:
     }
 
 
+class GroupStatsCache:
+    """Dataset-wide concatenated per-graph arrays for the batched native
+    stats pass (mg_group_stats). The trainer's fixed-dims mode probes the
+    padded dims of every (step, shard, chunk) group before each epoch; with
+    this cache the whole epoch's probe is ONE threaded C++ call addressing
+    graphs by id — the per-graph concatenation is paid once per dataset.
+
+    The cache snapshots sizes/levels/edges at construction; rebuild it if
+    the underlying graphs are mutated (the Trainer keys it on dataset
+    identity)."""
+
+    def __init__(self, graphs: list[CircuitGraph]):
+        self.num_graphs = len(graphs)
+        self.n = np.array([g.num_nodes for g in graphs], np.int64)
+        self.e = np.array([g.num_edges for g in graphs], np.int64)
+        self.p = np.array(
+            [g.tt_pair_index.shape[1] if g.tt_pair_index.size else 0 for g in graphs],
+            np.int64,
+        )
+        self.node_off = np.concatenate([[0], np.cumsum(self.n)])
+        self.edge_off = np.concatenate([[0], np.cumsum(self.e)])
+        c = lambda arrs, dt: (
+            np.ascontiguousarray(np.concatenate(arrs), dtype=dt)
+            if arrs else np.zeros(0, dt)
+        )
+        self.fwd_all = c([g.forward_level for g in graphs], np.int32)
+        self.esrc_all = c([g.edge_index[0] for g in graphs if g.num_edges], np.int64)
+        self.edst_all = c([g.edge_index[1] for g in graphs if g.num_edges], np.int64)
+
+    def group_dims(self, groups: list[np.ndarray], mp: int = 1) -> list[dict] | None:
+        """shard_dims() for every group of graph ids in one native call, or
+        None when the native lib is unavailable."""
+        import os
+
+        from ..native import group_stats_native
+
+        ids = np.ascontiguousarray(np.concatenate([np.asarray(g) for g in groups]),
+                                   dtype=np.int64)
+        group_ptr = np.zeros(len(groups) + 1, np.int64)
+        np.cumsum([len(g) for g in groups], out=group_ptr[1:])
+        threads = int(os.environ.get("MGVAE_COLLATE_THREADS", "0")) or (os.cpu_count() or 1)
+        stats = group_stats_native(
+            group_ptr, ids, self.n, self.e, self.node_off, self.edge_off,
+            self.fwd_all, self.esrc_all, self.edst_all, BLOCK_D,
+            num_threads=min(threads, len(groups)),
+        )
+        if stats is None:
+            return None
+        out = []
+        for gi, g in enumerate(groups):
+            g = np.asarray(g)
+            lv, np_r, ep, ebf, ebr = (int(x) for x in stats[gi])
+            n = int(self.n[g].sum())
+            out.append({
+                "N": _round_up(bucket(n + 1), BLOCK_D * mp),
+                "E": bucket(int(self.e[g].sum())),
+                "P": bucket(int(self.p[g].sum())),
+                "L": bucket(max(lv, 1)),
+                "NP": bucket(max(np_r, 1)),
+                "EP": _round_up(bucket(max(ep, 1)), mp),
+                "EBF": bucket(max(ebf, 1)),
+                "EBR": bucket(max(ebr, 1)),
+            })
+        return out
+
+
 def collate_shards(shards: list[list[CircuitGraph]], mp: int = 1,
                    dims: dict | None = None, num_chunks: int = 1) -> dict:
     """Collate one shard per device with COMMON padded dims and stack a
@@ -607,14 +673,18 @@ def _collate_step_native(shards, dims: dict, big: dict):
 def _partition_chunks(graphs: list[CircuitGraph], num_chunks: int) -> list[list[int]]:
     """Greedy node-count balance into num_chunks bins, deterministic, input
     order preserved within each bin."""
-    assert len(graphs) >= num_chunks, "fewer graphs than chunks"
-    order = sorted(range(len(graphs)), key=lambda i: -graphs[i].num_nodes)
+    return _partition_by_size([g.num_nodes for g in graphs], num_chunks)
+
+
+def _partition_by_size(sizes, num_chunks: int) -> list[list[int]]:
+    assert len(sizes) >= num_chunks, "fewer graphs than chunks"
+    order = sorted(range(len(sizes)), key=lambda i: -int(sizes[i]))
     bins: list[list[int]] = [[] for _ in range(num_chunks)]
     loads = [0] * num_chunks
     for gi in order:
         k = loads.index(min(loads))
         bins[k].append(gi)
-        loads[k] += graphs[gi].num_nodes
+        loads[k] += int(sizes[gi])
     for b in bins:
         b.sort()
     return bins

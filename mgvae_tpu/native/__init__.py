@@ -101,6 +101,11 @@ def _bind(lib):
         i32p, i32p, u8p,
         f32p, f32p,
     ]
+    lib.mg_group_stats.restype = ctypes.c_int32
+    lib.mg_group_stats.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p,
+        i32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p,
+    ]
     lib.mg_collate_step.restype = ctypes.c_int32
     lib.mg_collate_step.argtypes = (
         [ctypes.c_int64, i64p, i64p, i64p, i64p,
@@ -220,6 +225,29 @@ def collate_fill_native(fwd, esrc, edst, dims: dict, block: int, dump: int,
     if r != 0:
         raise AssertionError(f"mg_collate_fill failed: {r} (dims too small?)")
     return o
+
+
+def group_stats_native(group_ptr, graph_ids, graph_nodes, graph_edges,
+                       node_off, edge_off, fwd_all, esrc_all, edst_all,
+                       block: int, num_threads: int = 1):
+    """Real table extents for many graph groups in one threaded C++ call
+    (the trainer's epoch pre-scan). Returns int64 [n_groups, 5] =
+    {lv, np, ep, ebf, ebr} rows, or None when the native lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_groups = group_ptr.shape[0] - 1
+    out = np.zeros(n_groups * 5, dtype=np.int64)
+    r = lib.mg_group_stats(
+        n_groups, _i64p(group_ptr), _i64p(graph_ids),
+        _i64p(graph_nodes), _i64p(graph_edges),
+        _i64p(node_off), _i64p(edge_off),
+        _i32p(fwd_all), _i64p(esrc_all), _i64p(edst_all),
+        block, num_threads, _i64p(out),
+    )
+    if r != 0:
+        raise AssertionError(f"mg_group_stats failed: {r}")
+    return out.reshape(n_groups, 5)
 
 
 def collate_step_native(shard_graphs, graph_nodes, graph_edges, graph_tt,

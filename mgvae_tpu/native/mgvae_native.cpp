@@ -611,6 +611,103 @@ static int32_t collate_one_shard(
 
 extern "C" {
 
+// Batched stats: real (pre-bucketing) table extents for MANY graph groups in
+// one call — the fixed-dims trainer's epoch pre-scan (it probes every
+// (step, shard, chunk) group's dims before collating an epoch; doing that
+// per group from Python costs more than the collation itself). Graphs are
+// addressed by id into dataset-wide concatenated arrays, so the caller can
+// cache those once per dataset and pass only the grouping each epoch.
+// stats_out[g*5..g*5+5) = {lv_real, np_real, ep_real, ebf_real, ebr_real}.
+int32_t mg_group_stats(
+    int64_t n_groups, const int64_t* group_ptr,  // [n_groups+1] into graph_ids
+    const int64_t* graph_ids,
+    const int64_t* graph_nodes, const int64_t* graph_edges,  // per-graph counts
+    const int64_t* node_off, const int64_t* edge_off,        // per-graph offsets
+    const int32_t* fwd_all,                                  // concatenated levels
+    const int64_t* esrc_all, const int64_t* edst_all,        // RAW per-graph ids
+    int64_t block, int64_t num_threads, int64_t* stats_out) {
+  auto run = [&](int64_t gi) {
+    const int64_t a = group_ptr[gi], b = group_ptr[gi + 1];
+    int64_t n = 0, e = 0;
+    int32_t lv_real = 0;
+    for (int64_t k = a; k < b; ++k) {
+      const int64_t g = graph_ids[k];
+      const int32_t* fwd = fwd_all + node_off[g];
+      for (int64_t v = 0; v < graph_nodes[g]; ++v)
+        if (fwd[v] > lv_real) lv_real = fwd[v];
+      n += graph_nodes[g];
+      e += graph_edges[g];
+    }
+    // per-level node/edge counts + the group's level-major renumbering
+    std::vector<int64_t> lcnt(lv_real + 2, 0), ecnt(lv_real + 2, 0);
+    std::vector<int32_t> fwd_loc(n);
+    {
+      int64_t at = 0;
+      for (int64_t k = a; k < b; ++k) {
+        const int64_t g = graph_ids[k];
+        const int32_t* fwd = fwd_all + node_off[g];
+        for (int64_t v = 0; v < graph_nodes[g]; ++v) {
+          fwd_loc[at + v] = fwd[v];
+          lcnt[fwd[v]]++;
+        }
+        at += graph_nodes[g];
+      }
+    }
+    std::vector<int64_t> starts(lv_real + 2, 0);
+    for (int32_t l = 0; l <= lv_real; ++l) starts[l + 1] = starts[l] + lcnt[l];
+    std::vector<int32_t> inv(n);
+    {
+      std::vector<int64_t> cur(starts.begin(), starts.end() - 1);
+      for (int64_t v = 0; v < n; ++v) inv[v] = (int32_t)cur[fwd_loc[v]]++;
+    }
+    int64_t np_real = 0;
+    for (int32_t l = 1; l <= lv_real; ++l)
+      if (lcnt[l] > np_real) np_real = lcnt[l];
+    const int64_t nb = n / block + 2;
+    std::vector<int64_t> bf(nb, 0), br(nb, 0);
+    {
+      int64_t goff = 0;
+      for (int64_t k = a; k < b; ++k) {
+        const int64_t g = graph_ids[k];
+        const int64_t* es = esrc_all + edge_off[g];
+        const int64_t* ed = edst_all + edge_off[g];
+        for (int64_t i = 0; i < graph_edges[g]; ++i) {
+          const int64_t s = es[i] + goff, d = ed[i] + goff;
+          ecnt[fwd_loc[d]]++;
+          bf[inv[d] / block]++;
+          br[inv[s] / block]++;
+        }
+        goff += graph_nodes[g];
+      }
+    }
+    int64_t ep_real = 0, ebf = 0, ebr = 0;
+    for (int32_t l = 1; l <= lv_real; ++l)
+      if (ecnt[l] > ep_real) ep_real = ecnt[l];
+    for (int64_t v = 0; v < nb; ++v) {
+      if (bf[v] > ebf) ebf = bf[v];
+      if (br[v] > ebr) ebr = br[v];
+    }
+    stats_out[gi * 5 + 0] = lv_real;
+    stats_out[gi * 5 + 1] = np_real;
+    stats_out[gi * 5 + 2] = ep_real;
+    stats_out[gi * 5 + 3] = ebf;
+    stats_out[gi * 5 + 4] = ebr;
+  };
+  if (num_threads <= 1 || n_groups == 1) {
+    for (int64_t gi = 0; gi < n_groups; ++gi) run(gi);
+  } else {
+    int64_t nt = num_threads < n_groups ? num_threads : n_groups;
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int64_t t = 0; t < nt; ++t)
+      threads.emplace_back([&, t]() {
+        for (int64_t gi = t; gi < n_groups; gi += nt) run(gi);
+      });
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
 int32_t mg_collate_step(
     int64_t dp, const int64_t* shard_graphs,  // graphs per shard, [dp]
     const int64_t* graph_nodes, const int64_t* graph_edges,

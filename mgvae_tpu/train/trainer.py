@@ -71,6 +71,9 @@ class Trainer:
         # VMEM gate are collated as C sub-batches (collate_chunked) so
         # training still rides the kernel's (chunk, level) grid.
         self._chunks: int | None = None
+        # per-dataset stats cache for the fixed-dims epoch pre-scan
+        # (data/batching.GroupStatsCache), keyed on dataset identity
+        self._stats_cache: tuple | None = None
         # Tracing/profiling subsystem (the reference has only wall-clock
         # meters, SURVEY.md §5.1): when set, epoch 0 of every train() call is
         # captured with jax.profiler into trace_dir (view with tensorboard
@@ -225,11 +228,30 @@ class Trainer:
         chunking degree: the smallest C whose per-chunk dims fit the fused
         kernel's VMEM gate. Returns the dims to collate with, or None to
         keep per-batch natural dims."""
-        from ..data.batching import chunked_shard_dims
+        from ..data.batching import _partition_by_size, chunked_shard_dims
 
         per = self.batch_size if self.mesh is not None else step_graphs
 
         def scan_dims(C, steps):
+            # batched pre-scan: every (step, shard, chunk) group's dims in
+            # ONE threaded native call against the per-dataset stats cache
+            cache = self._get_stats_cache(dataset)
+            if cache is not None:
+                groups = []
+                for s in steps:
+                    chunk_idx = idx[s * step_graphs : (s + 1) * step_graphs]
+                    for d in range(0, len(chunk_idx), per):
+                        shard_ids = chunk_idx[d : d + per]
+                        if C == 1:
+                            groups.append(shard_ids)
+                        else:
+                            bins = _partition_by_size(cache.n[shard_ids], C)
+                            groups.extend(shard_ids[b] for b in bins)
+                if groups:
+                    dl = cache.group_dims(groups)
+                    if dl is not None:
+                        return {k: max(d[k] for d in dl) for k in dl[0]}
+            # per-shard fallback (no stats cache)
             dmax = {}
             for s in steps:
                 chunk_idx = idx[s * step_graphs : (s + 1) * step_graphs]
@@ -289,6 +311,20 @@ class Trainer:
                     self._chunks = new_c
                     self._dims_max = scan_dims(new_c, range(n_steps)) or {}
         return dict(self._dims_max)
+
+    def _get_stats_cache(self, dataset):
+        """Build (once per dataset) the concatenated-arrays cache behind the
+        batched native stats pass; None when the native lib is unavailable
+        or the dataset cannot be snapshotted."""
+        from ..data.batching import GroupStatsCache
+        from ..native import get_lib
+
+        if get_lib() is None:
+            return None
+        key = (id(dataset), len(dataset))
+        if self._stats_cache is None or self._stats_cache[0] != key:
+            self._stats_cache = (key, GroupStatsCache([dataset[i] for i in range(len(dataset))]))
+        return self._stats_cache[1]
 
     def _globalize(self, batch: dict) -> dict:
         """Assemble global dp-sharded jax.Arrays from this process's slice of

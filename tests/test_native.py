@@ -148,3 +148,33 @@ def test_native_collate_step_multithreaded(monkeypatch):
     b = B.collate_shards(shards, dims=dims)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_group_stats_cache_matches_shard_dims():
+    """The batched epoch pre-scan (mg_group_stats via GroupStatsCache) must
+    reproduce shard_dims / chunked_shard_dims exactly."""
+    import mgvae_tpu.data.batching as B
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    graphs = [
+        random_circuit(
+            rng, m, num_inputs=6,
+            num_gates=int(rng.integers(30, 300)),
+            num_tt_pairs=int(rng.integers(0, 32)),
+        )
+        for m, _ in zip(["mig", "aig", "xag", "xmg"] * 12, range(48))
+    ]
+    cache = B.GroupStatsCache(graphs)
+    idx = np.arange(48)
+    np.random.default_rng(1).shuffle(idx)
+    groups = [idx[i * 8 : (i + 1) * 8] for i in range(6)]
+    dl = cache.group_dims(groups)
+    for g, d in zip(groups, dl):
+        assert B.shard_dims([graphs[i] for i in g]) == d
+    for g in groups:  # chunked: max over the same deterministic bins
+        bins = B._partition_by_size(cache.n[g], 2)
+        sub = cache.group_dims([g[b] for b in bins])
+        got = {k: max(d[k] for d in sub) for k in sub[0]}
+        assert B.chunked_shard_dims([graphs[i] for i in g], 2) == got
