@@ -96,7 +96,7 @@ class Model:
             crop = int(batch["n_nodes"])
         else:
             batch = graph
-        batch = jax.tree.map(jnp.asarray, batch)
+        batch = jax.device_put(batch)  # ONE batched h2d transfer (tunnel: ~1 round trip, not 33)
         rng = None
         if self.cfg.variational:
             self._rng, rng = jax.random.split(self._rng)
@@ -118,7 +118,7 @@ class Model:
         out = [None] * len(graphs)
         for start in range(0, len(graphs), batch_size):
             chunk = graphs[start : start + batch_size]
-            batch = jax.tree.map(jnp.asarray, collate(chunk))
+            batch = jax.device_put(collate(chunk))  # one batched h2d transfer
             rng = None
             if self.cfg.variational:
                 self._rng, rng = jax.random.split(self._rng)

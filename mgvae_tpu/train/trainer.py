@@ -31,6 +31,15 @@ from ..utils.logger import AverageMeter, Logger
 from .step import make_optimizer, make_train_step, set_lr
 
 
+_METRIC_KEYS = ("recon_loss", "prob_loss", "func_loss", "kl_loss",
+                "tp", "fp", "tn", "fn", "n_pred")
+
+
+@jax.jit
+def _pack_metrics(m):
+    return jnp.stack([m[k] for k in _METRIC_KEYS])
+
+
 class Trainer:
     def __init__(
         self,
@@ -98,6 +107,9 @@ class Trainer:
         self.optimizer = make_optimizer(lr)
         self.opt_state = self.optimizer.init(self.params)
         self.train_step, self.eval_step = make_train_step(model_cfg, self.optimizer, self.mesh)
+        from ..utils.transfer import ArenaPacker
+
+        self._packer = ArenaPacker(self.mesh)
         self.model_epoch = 0
         self._rng = jax.random.PRNGKey(seed + 1)
         self._np_rng = np.random.default_rng(seed + 2)
@@ -347,6 +359,16 @@ class Trainer:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def _to_device(self, batch: dict) -> dict:
+        """ONE host->device transfer for the whole step (utils/transfer):
+        cuts ~33 per-array puts (each with host-side sharding/bookkeeping
+        cost) to one packed put; on a dp mesh each device receives exactly
+        its shard's bytes in a single sharded transfer."""
+        leaf = next(iter(batch.values()))
+        if isinstance(leaf, jax.Array):  # multi-host: already global arrays
+            return batch
+        return self._packer.to_device(batch)
+
     def train(self, num_epoch: int, train_dataset, val_dataset):
         weights = self.weights
         print(f"[INFO] Start training, lr = {self.lr:.6f}")
@@ -359,14 +381,17 @@ class Trainer:
             for phase in ("train", "val"):
                 ds = train_dataset if phase == "train" else val_dataset
                 meters = {k: AverageMeter() for k in ("recon", "prob", "func", "kl", "acc", "tp", "fp", "tn", "fn", "time")}
-                # Metrics stay on-device per iteration and are fetched once
-                # per epoch: a host sync costs ~26 ms on a tunneled chip,
-                # which would dominate the step time (the reference syncs
-                # full prediction vectors every iteration, trainer.py:236-244).
+                # Metrics stay on-device per iteration and are fetched as ONE
+                # stacked [steps, 9] array per epoch: a host sync costs ~26 ms
+                # on a tunneled chip, so both the reference's per-iteration
+                # prediction sync (trainer.py:236-244) AND a per-scalar
+                # epoch-end fetch (~10 scalars x steps x 26 ms) would dwarf
+                # the ~2 ms device step.
+                mkeys = _METRIC_KEYS
                 pending = []
                 t0 = time.time()
                 for it, batch in enumerate(self._iter_batches(ds, shuffle=True)):
-                    batch = jax.tree.map(jnp.asarray, batch)
+                    batch = self._to_device(batch)
                     rng = self._next_rng()
                     if phase == "train":
                         self.params, self.state, self.opt_state, m = self.train_step(
@@ -374,15 +399,17 @@ class Trainer:
                         )
                     else:
                         m = self.eval_step(self.params, self.state, batch, rng, weights)
-                    pending.append(m)
+                    pending.append(_pack_metrics(m))  # one dispatch per step
                     if self.is_chief and self.log_every and (it + 1) % self.log_every == 0:
-                        mm = jax.tree.map(float, m)
+                        mm = dict(zip(mkeys, np.asarray(pending[-1])))  # 1 sync
                         print(
                             f"[{phase} {self.model_epoch}] {epoch}/{num_epoch} it {it + 1} "
                             f"|Recon: {mm['recon_loss']:.4f} |Prob: {mm['prob_loss']:.4f} "
                             f"|Func: {mm['func_loss']:.4f}"
                         )
-                for m in jax.tree.map(float, pending):
+                rows = np.asarray(jnp.stack(pending)) if pending else np.zeros((0, len(mkeys)))
+                for row in rows:
+                    m = dict(zip(mkeys, (float(x) for x in row)))
                     n_pred = max(m["n_pred"], 1.0)
                     meters["recon"].update(m["recon_loss"])
                     meters["prob"].update(m["prob_loss"])

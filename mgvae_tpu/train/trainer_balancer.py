@@ -128,17 +128,23 @@ class BalancerTrainer(Trainer):
         for epoch in range(num_epoch):
             meters = {k: AverageMeter() for k in ("recon", "prob", "func", "time")}
             t0 = time.time()
+            # metrics stay on-device; ONE stacked fetch per epoch (a host
+            # sync costs ~26 ms on a tunneled chip — see Trainer.train)
+            pending = []
             for batch in self._iter_batches(train_dataset, shuffle=True):
-                batch = jax.tree.map(jnp.asarray, batch)
+                batch = self._to_device(batch)
                 rng = self._next_rng()
                 self.params, self.state, self.bal_state, self.opt_state, m = self._bal_step(
                     self.params, self.state, self.bal_state, self.opt_state, batch, rng
                 )
-                meters["recon"].update(float(m["recon_loss"]))
-                meters["prob"].update(float(m["prob_loss"]))
-                meters["func"].update(float(m["func_loss"]))
+                pending.append(jnp.stack([m["recon_loss"], m["prob_loss"], m["func_loss"]]))
                 meters["time"].update(time.time() - t0)
                 t0 = time.time()
+            if pending:
+                for rc, pl, fl in np.asarray(jnp.stack(pending)):
+                    meters["recon"].update(float(rc))
+                    meters["prob"].update(float(pl))
+                    meters["func"].update(float(fl))
             if self.is_chief:
                 self.logger.write(
                     "balancer| Epoch: {:}/{:} |Recon: {:.4f} |Prob: {:.4f} |Func: {:.4f}|Net: {:.2f}s\n".format(
