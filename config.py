@@ -55,6 +55,9 @@ def get_parse_args():
     parser.add_argument("--stage_epochs", type=str, default="100,60,60",
                         help="Epochs of the 3 training stages (reference: 100,60,60)")
     parser.add_argument("--log_every", type=int, default=0, help="Print running stats every N iters")
+    parser.add_argument("--steps_per_call", type=int, default=8,
+                        help="Optimizer steps scanned into one dispatched program "
+                             "(amortizes per-dispatch latency; 1 = step-per-dispatch)")
 
     args = parser.parse_args()
     return args

@@ -28,6 +28,11 @@ from ..models.dg_ae import DGConfig, forward
 from .losses import func_loss, kl_loss, prob_loss, recon_loss
 
 
+# epoch-metric row layout shared by the trainer and the multi-step scan
+METRIC_KEYS = ("recon_loss", "prob_loss", "func_loss", "kl_loss",
+               "tp", "fp", "tn", "fn", "n_pred")
+
+
 def make_optimizer(lr: float):
     """Adam with torch defaults; learning rate is a mutable hyperparam so
     the 3-stage schedule / lr-step decay never trigger recompilation."""
@@ -144,3 +149,63 @@ def make_train_step(cfg: DGConfig, optimizer, mesh: Mesh | None = None, donate: 
         )
     )
     return train_step, eval_step
+
+
+def make_multi_step(cfg: DGConfig, optimizer, mesh: Mesh | None = None, donate: bool = True):
+    """K optimizer steps in ONE dispatched program via ``lax.scan``.
+
+    multi_step(params, state, opt_state, sbatch, rngs, weights)
+      -> (params, state, opt_state, metrics[K, len(METRIC_KEYS)])
+
+    ``sbatch`` leaves carry a leading step axis [K, ...] (with a mesh:
+    [K, dp, ...]); ``rngs`` is [K, 2]. K is static (one compile per distinct
+    K; the trainer always calls with a single fixed K and runs tails through
+    the per-step path). Motivation: on a remotely-tunneled chip every
+    dispatched program costs a host<->device round trip (~26 ms); at a ~2 ms
+    device step the per-step dispatch dominates wall clock. Scanning K steps
+    per dispatch amortizes it (measured 28 -> 9.3 ms/step at K=8, bs16 MIG).
+    The reference dispatches (many) kernels per step from Python
+    (trainer.py:208-234); XLA sees the whole K-step window here.
+    """
+
+    def _train(params, state, opt_state, batch, rng, weights):
+        grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
+        (_, (new_state, metrics)), grads = grad_fn(params, state, batch, rng, weights, cfg, True)
+        if mesh is not None:
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
+            new_state = jax.tree.map(lambda s: jax.lax.pmean(s, "dp"), new_state)
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "dp"), metrics)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, state | new_state, opt_state, metrics
+
+    def _scan(params, state, opt_state, sbatch, rngs, weights, *, sharded: bool):
+        def body(carry, xs):
+            p, s, o = carry
+            b, r = xs
+            if sharded:
+                b = jax.tree.map(lambda x: x[0], b)  # drop local dp axis
+                r = jax.random.fold_in(r, jax.lax.axis_index("dp"))
+            p, s, o, m = _train(p, s, o, b, r, weights)
+            return (p, s, o), jnp.stack([m[k] for k in METRIC_KEYS])
+        (params, state, opt_state), ms = jax.lax.scan(
+            body, (params, state, opt_state), (sbatch, rngs)
+        )
+        return params, state, opt_state, ms
+
+    if mesh is None:
+        return jax.jit(
+            functools.partial(_scan, sharded=False),
+            donate_argnums=(0, 1, 2) if donate else (),
+        )
+
+    rep = P()
+    return jax.jit(
+        shard_map(
+            functools.partial(_scan, sharded=True), mesh=mesh,
+            in_specs=(rep, rep, rep, P(None, "dp"), rep, rep),
+            out_specs=(rep, rep, rep, rep),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1, 2) if donate else (),
+    )

@@ -11,11 +11,9 @@ typed arrays on device with one jitted unpack call (static offsets ->
 slice + bitcast; XLA fuses the copies). Single-device wall clock is neutral
 (e2e A/B: 559 vs 568 g/s); the win is host CPU per step and the dp path.
 
-dp-sharded mode (mesh given): the arena is [dp, B] with shard d's bytes
-contiguous in row d and is device_put with NamedSharding(P('dp')) — one
-sharded transfer, each device receiving exactly its shard. The unpack
-slices along the unsharded byte axis, so sharding propagates and no
-collective is inserted.
+``to_device_steps`` packs a GROUP of K same-shape step batches into one
+[K, (dp,) bytes] arena for the multi-step scanned train step
+(train/step.make_multi_step) — K steps ride one transfer + one dispatch.
 
 A fresh arena is allocated per call: the CPU backend may zero-copy alias
 numpy buffers into jax Arrays, so reuse would corrupt in-flight batches
@@ -31,13 +29,14 @@ import numpy as np
 _ALIGN = 8
 
 
-def _layout(batch: dict, lead: int | None):
-    """((key, dtype_str, per-item shape, offset), ...), total per-item bytes."""
+def _layout(batch: dict, n_lead: int):
+    """((key, dtype_str, per-item shape, offset), ...), total per-item bytes.
+    ``n_lead`` leading axes (step/dp) are excluded from the per-item shape."""
     items = []
     off = 0
     for k in sorted(batch):
         a = np.asarray(batch[k])
-        shape = a.shape[1:] if lead is not None else a.shape
+        shape = a.shape[n_lead:]
         nbytes = int(np.prod(shape, dtype=np.int64)) * a.dtype.itemsize
         off = (off + _ALIGN - 1) // _ALIGN * _ALIGN
         items.append((k, a.dtype.str, tuple(int(s) for s in shape), off))
@@ -46,25 +45,23 @@ def _layout(batch: dict, lead: int | None):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_unpack(items, total):
-    def unpack(arena):  # arena: [B] u8, or [dp, B] u8 (dp-sharded)
+def _make_unpack(items, total, n_lead):
+    def unpack(arena):  # arena: [*lead, B] u8
         out = {}
-        dp = arena.shape[0] if arena.ndim == 2 else None
+        lead = arena.shape[:n_lead]
         for k, dt, shape, off in items:
             dtype = np.dtype(dt)
             n = int(np.prod(shape, dtype=np.int64))
             nbytes = n * dtype.itemsize
-            if dp is not None:
-                raw = jax.lax.slice(arena, (0, off), (dp, off + nbytes))
-                raw = raw.reshape((dp, n, dtype.itemsize))
-            else:
-                raw = jax.lax.slice(arena, (off,), (off + nbytes,))
-                raw = raw.reshape((n, dtype.itemsize))
+            start = (0,) * n_lead + (off,)
+            limit = tuple(lead) + (off + nbytes,)
+            raw = jax.lax.slice(arena, start, limit)
+            raw = raw.reshape(tuple(lead) + (n, dtype.itemsize))
             if dtype == np.bool_:
                 v = raw[..., 0] != 0
             else:
                 v = jax.lax.bitcast_convert_type(raw, dtype)
-            out[k] = v.reshape(((dp,) if dp is not None else ()) + shape)
+            out[k] = v.reshape(tuple(lead) + shape)
         return out
 
     return jax.jit(unpack)
@@ -78,26 +75,49 @@ class ArenaPacker:
     def __init__(self, mesh=None):
         self.mesh = mesh
 
-    def to_device(self, batch: dict) -> dict:
-        lead = None
+    def _put(self, arena, n_lead):
         if self.mesh is not None:
-            lead = int(np.asarray(next(iter(batch.values()))).shape[0])
-        items, total = _layout(batch, lead)
-        arena = np.zeros((lead, total) if lead is not None else (total,), np.uint8)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # dp is always the LAST lead axis (arena [.., dp, B])
+            spec = P(*((None,) * (n_lead - 1) + ("dp",)))
+            return jax.device_put(arena, NamedSharding(self.mesh, spec))
+        return jax.device_put(arena)
+
+    def to_device(self, batch: dict) -> dict:
+        n_lead = 1 if self.mesh is not None else 0
+        items, total = _layout(batch, n_lead)
+        lead = ()
+        if n_lead:
+            lead = (int(np.asarray(next(iter(batch.values()))).shape[0]),)
+        arena = np.zeros(lead + (total,), np.uint8)
         for k, dt, shape, off in items:
             a = np.asarray(batch[k])
             nbytes = int(np.prod(shape, dtype=np.int64)) * np.dtype(dt).itemsize
             if not nbytes:
                 continue
             src = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
-            if lead is not None:
-                arena[:, off : off + nbytes] = src.reshape(lead, nbytes)
-            else:
-                arena[off : off + nbytes] = src
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            arena[..., off : off + nbytes] = src.reshape(lead + (nbytes,))
+        return _make_unpack(items, total, n_lead)(self._put(arena, n_lead))
 
-            dev = jax.device_put(arena, NamedSharding(self.mesh, P("dp")))
-        else:
-            dev = jax.device_put(arena)
-        return _make_unpack(items, total)(dev)
+    def to_device_steps(self, batches: list) -> dict:
+        """Pack K same-shape step batches -> leaves with a leading [K] axis
+        (with a mesh: [K, dp, ...]), in one transfer + one unpack."""
+        k_steps = len(batches)
+        per_lead = 1 if self.mesh is not None else 0
+        n_lead = per_lead + 1
+        items, total = _layout(batches[0], per_lead)
+        lead = (k_steps,)
+        if per_lead:
+            lead = lead + (int(np.asarray(next(iter(batches[0].values()))).shape[0]),)
+        arena = np.zeros(lead + (total,), np.uint8)
+        for step, batch in enumerate(batches):
+            row = arena[step]
+            for k, dt, shape, off in items:
+                a = np.asarray(batch[k])
+                nbytes = int(np.prod(shape, dtype=np.int64)) * np.dtype(dt).itemsize
+                if not nbytes:
+                    continue
+                src = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
+                row[..., off : off + nbytes] = src.reshape(lead[1:] + (nbytes,))
+        return _make_unpack(items, total, n_lead)(self._put(arena, n_lead))

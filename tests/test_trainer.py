@@ -139,3 +139,45 @@ def test_fixed_dims_yields_one_shape(tmp_path):
         for b in tr._iter_batches(ds, shuffle=True):
             keys.add(batch_shape_key(b))
     assert len(keys) == 1, f"expected one shape, got {len(keys)}"
+
+
+def _leaves_allclose(a, b, rtol, atol):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=rtol, atol=atol)
+
+
+def test_multi_step_matches_per_step(tmp_path):
+    """K scanned steps per dispatch (steps_per_call) must reproduce the
+    per-step path: same rng stream, same shuffles -> same params."""
+    cfg = DGConfig(modality="mig", dim_hidden=32, s_rounds=1, t_rounds=1, layernorm=True)
+    ds = _dataset(40, seed=7)  # 10 steps at bs4 -> 2 groups of 4 + 2 tail
+    trs = [
+        Trainer(
+            _args(), cfg, training_id=f"ms{k}", save_dir=str(tmp_path), lr=1e-3,
+            batch_size=4, distributed=False, seed=11, steps_per_call=k,
+        )
+        for k in (4, 1)
+    ]
+    ms = [tr.train(2, ds, ds[:4]) for tr in trs]
+    _leaves_allclose(trs[0].params, trs[1].params, rtol=2e-5, atol=1e-6)
+    _leaves_allclose(trs[0].state, trs[1].state, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(ms[0]["recon"], ms[1]["recon"], rtol=1e-4)
+
+
+def test_multi_step_dp_mesh(tmp_path):
+    """steps_per_call composes with shard_map dp: grouped steps train on the
+    8-device mesh and match the per-step dp path."""
+    assert len(jax.devices()) == 8
+    cfg = DGConfig(modality="aig", dim_hidden=32, s_rounds=1, t_rounds=1)
+    ds = _dataset(64, "aig", seed=8)  # bs2 x 8 dev -> 4 steps -> 2 groups of 2
+    trs = [
+        Trainer(
+            _args(), cfg, training_id=f"msdp{k}", save_dir=str(tmp_path), lr=1e-3,
+            batch_size=2, distributed=True, num_devices=8, seed=13, steps_per_call=k,
+        )
+        for k in (2, 1)
+    ]
+    ms = [tr.train(1, ds, ds[:16]) for tr in trs]
+    assert np.isfinite(ms[0]["recon"])
+    _leaves_allclose(trs[0].params, trs[1].params, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(ms[0]["recon"], ms[1]["recon"], rtol=1e-4)

@@ -67,3 +67,32 @@ def test_packed_batch_feeds_jit():
     got = float(f(out))
     want = float(batch["x"].sum() + batch["idx"].sum() + batch["mask"].sum())
     assert abs(got - want) < 1e-3
+
+
+def test_pack_steps_roundtrip():
+    rng = np.random.default_rng(3)
+    batches = [_demo_batch(rng) for _ in range(3)]
+    out = ArenaPacker().to_device_steps(batches)
+    for k in batches[0]:
+        got = np.asarray(out[k])
+        assert got.shape == (3,) + batches[0][k].shape, k
+        for i, b in enumerate(batches):
+            np.testing.assert_array_equal(got[i], b[k], err_msg=f"{k}[{i}]")
+
+
+def test_pack_steps_dp_sharded():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(devs[:8]), ("dp",))
+    rng = np.random.default_rng(4)
+    batches = [_demo_batch(rng, lead=8) for _ in range(2)]
+    out = ArenaPacker(mesh).to_device_steps(batches)
+    want = NamedSharding(mesh, P(None, "dp"))
+    for k in batches[0]:
+        got = np.asarray(out[k])
+        assert got.shape == (2,) + batches[0][k].shape, k
+        for i, b in enumerate(batches):
+            np.testing.assert_array_equal(got[i], b[k], err_msg=f"{k}[{i}]")
+        if batches[0][k].size:
+            assert out[k].sharding.is_equivalent_to(want, out[k].ndim), k

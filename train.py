@@ -71,6 +71,7 @@ if __name__ == "__main__":
         seed=args.seed,
         log_every=args.log_every,
         fixed_dims=not args.no_fixed_dims,
+        steps_per_call=args.steps_per_call,
     )
     if args.resume:
         trainer.resume()
