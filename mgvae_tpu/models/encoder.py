@@ -59,8 +59,35 @@ def blocked_neighbor_sum(state, src_tbl, slot_tbl, valid_tbl, block_d: int = 128
     return agg.reshape(-1, state.shape[-1])
 
 
+def _blocked_neighbor_sum_t(state, fwd_tbls, rev_tbls):
+    """blocked_neighbor_sum with an explicit TRANSPOSE rule.
+
+    The op is linear in ``state``: out = M @ state with M the (blocked)
+    adjacency. Autodiff of the gather inside blocked_neighbor_sum would
+    otherwise emit a serializing TPU scatter-add in the backward (~125 us
+    per half-round — the exact pathology the one-hot forward avoids).
+    M^T @ cot is just the neighbor sum over the REVERSED edges, and the
+    batch already carries both orientations (fa_*/ra_* are built from the
+    same edge list with by/other swapped, data/batching.py:218-227), so the
+    backward rides the same MXU einsum path. linear_call gives both the
+    JVP and the transpose from the pair."""
+    from jax.custom_derivatives import linear_call
+
+    def f(tbls, s):
+        return blocked_neighbor_sum(s, *tbls[0])
+
+    def ft(tbls, cot):
+        return blocked_neighbor_sum(cot, *tbls[1])
+
+    return linear_call(f, ft, (fwd_tbls, rev_tbls), state)
+
+
 def _neighbor_sum(state, batch, reverse: bool):
     n = state.shape[0]
+    if "fa_src" in batch and "ra_src" in batch:
+        fa = (batch["fa_src"], batch["fa_slot"], batch["fa_valid"])
+        ra = (batch["ra_src"], batch["ra_slot"], batch["ra_valid"])
+        return _blocked_neighbor_sum_t(state, *((ra, fa) if reverse else (fa, ra)))
     if not reverse and "fa_src" in batch:
         return blocked_neighbor_sum(state, batch["fa_src"], batch["fa_slot"], batch["fa_valid"])
     if reverse and "ra_src" in batch:
