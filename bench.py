@@ -1,12 +1,21 @@
 """Headline benchmark: AIG+MIG encoding throughput (graphs/sec/chip) vs the
 CPU PyTorch reference, plus loss parity (BASELINE.md targets).
 
-Measurement protocol (designed for the tunneled-TPU environment where a
-host<->device sync costs ~26 ms and plain dispatch timing under-measures):
-K forward passes are CHAINED inside one jitted fori_loop (each iteration's
-params perturbed by the previous result so XLA cannot hoist the body), and
-the wall clock covers exactly one synchronized call; the single round-trip
-is subtracted via a measured no-op baseline.
+Measurement protocol (v2, hoist-proof): K DISTINCT collated batches (common
+padded dims) are stacked and swept with ONE jitted ``lax.scan`` whose body
+runs the real computation on batch k and accumulates a data-dependent
+scalar; wall clock covers one synchronized call and the single measured
+host<->device round trip (~26 ms on the tunneled chip) is subtracted.
+
+Why v2: round 1 chained K iterations over the SAME batch with only one
+parameter tensor perturbed per iteration. XLA hoists every loop-invariant
+subcomputation (struct-encoder aggregations, attention precomputes, ...)
+out of such a loop, so those numbers measured only the perturbation-
+dependent slice of the model — inflating fwd throughput ~4-8x and grad
+throughput ~3x. Distinct batches make every iteration's work genuinely
+batch-dependent, which is also what serving/training actually does. The
+train metric now times the REAL train step (losses + backward + Adam +
+metrics via train/step.make_multi_step), not a toy MSE grad.
 
 Baseline: the clean-room torch implementation of the reference semantics
 (benchmarks/torch_reference.py) running the reference's own per-level python
@@ -28,7 +37,8 @@ N_CIRCUITS = 64
 BATCH = 16  # pallas-kernel class; the fused level kernel beats XLA-at-64
 NUM_INPUTS = 16
 NUM_GATES = 264
-CHAIN_K = 32
+SCAN_K = 16      # distinct batches per timed dispatch (bs16 benches)
+SCAN_K_BIG = 8   # distinct batches per timed dispatch (bs64 bench)
 
 
 def log(*a):
@@ -59,6 +69,45 @@ def measure_roundtrip():
         float(f(x))
         ts.append(time.perf_counter() - t0)
     return min(ts)
+
+
+def stacked_batches(modality, seed, k, batch_size, chunks=1):
+    """k DISTINCT collated batches at COMMON padded dims, stacked [k, ...]."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgvae_tpu.data.batching import chunked_shard_dims, collate, collate_chunked
+
+    shards = [make_dataset(modality, seed * 1000 + i, n=batch_size) for i in range(k)]
+    dmaxs = [chunked_shard_dims(s, chunks) for s in shards]
+    if dmaxs[0] is None:  # no native lib: fall back to natural dims of shard 0
+        dims = None
+        shards = [shards[0]] * k
+    else:
+        dims = {key: max(d[key] for d in dmaxs) for key in dmaxs[0]}
+    if chunks > 1:
+        batches = [collate_chunked(s, chunks, dims=dims) for s in shards]
+    else:
+        batches = [collate(s, dims=dims) for s in shards]
+    sb = {key: np.stack([np.asarray(b[key]) for b in batches]) for key in batches[0]}
+    return jax.tree.map(jnp.asarray, sb), batches[0]
+
+
+def timed_scan(outer, args, k, roundtrip, reps=5):
+    """jit(outer)(*args) -> scalar-ish; returns seconds per scan iteration
+    with the single sync round trip subtracted."""
+    import jax
+
+    f = jax.jit(outer)
+    out = f(*args)
+    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # compile + run
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = f(*args)
+        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return max(best - roundtrip, 1e-9) / k
 
 
 def bench_modality(modality, seed, roundtrip):
@@ -95,8 +144,9 @@ def bench_modality(modality, seed, roundtrip):
         torch_time = time.perf_counter() - t0
     torch_gps = len(graphs) / torch_time
 
-    # ---- ours: K chained forwards in one jitted call ---------------------
-    batch = jax.tree.map(jnp.asarray, collate(graphs[:BATCH]))
+    # ---- ours: scan over SCAN_K distinct batches in one jitted call ------
+    sbatch, batch0 = stacked_batches(modality, seed, SCAN_K, BATCH)
+    batch = jax.tree.map(jnp.asarray, batch0)
     use_pallas = False
     if jax.default_backend() == "tpu":
         from mgvae_tpu.ops.pallas.level_kernel import kernel_fits
@@ -120,28 +170,14 @@ def bench_modality(modality, seed, roundtrip):
             log(f"[{modality}] pallas-vs-xla max |hf| diff (highest precision): {dmax:.2e}")
             assert dmax < 1e-5
 
-    def chained(params, batch):
-        def body(i, c):
-            p2 = {
-                **params,
-                "hs_linear": {
-                    "w": params["hs_linear"]["w"],
-                    "b": params["hs_linear"]["b"] + c * 1e-30,
-                },
-            }
-            hs, hf, _ = forward(p2, batch, cfg, use_pallas=use_pallas)
-            return hf[0, 0]
+    def scan_fwd(params, sbatch):
+        def body(acc, b):
+            hs, hf, _ = forward(params, b, cfg, use_pallas=use_pallas)
+            return acc + hf.sum() + hs.sum(), ()
 
-        return jax.lax.fori_loop(0, CHAIN_K, body, 0.0)
+        return jax.lax.scan(body, jnp.zeros(()), sbatch)[0]
 
-    f = jax.jit(chained)
-    float(f(params, batch))  # compile + full execution
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(f(params, batch))
-        times.append(time.perf_counter() - t0)
-    per_fwd = max(min(times) - roundtrip, 1e-9) / CHAIN_K
+    per_fwd = timed_scan(scan_fwd, (params, sbatch), SCAN_K, roundtrip)
     ours_gps = BATCH / per_fwd
 
     # ---- loss parity on one graph ----------------------------------------
@@ -182,76 +218,69 @@ def bench_modality(modality, seed, roundtrip):
     )
     assert max(parity.values()) < 0.01, f"loss parity violated: {parity}"
 
-    # ---- secondary: full gradient-step throughput (fwd+bwd) ---------------
-    tgt = jax.random.normal(jax.random.PRNGKey(3), (batch["gate"].shape[0], cfg.dim_hidden))
+    # ---- secondary: REAL train-step throughput (losses+bwd+Adam+metrics) --
+    from mgvae_tpu.train.step import make_multi_step, make_optimizer
 
-    def train_loss(p):
-        hs, hf, _ = forward(p, batch, cfg, use_pallas=use_pallas)
-        m = batch["node_valid"][:, None]
-        return jnp.sum(jnp.where(m, (hf - tgt) ** 2, 0.0))
+    opt = make_optimizer(1e-4)
+    multi = make_multi_step(cfg, opt, None, donate=False)
+    rngs = jax.random.split(jax.random.PRNGKey(3), SCAN_K)
+    weights = jnp.asarray([1.0, 4.0, 2.0, 0.0])
+    opt_state = opt.init(params)
 
-    def chained_grad(p):
-        def body(i, c):
-            g = jax.grad(train_loss)(
-                {**p, "hs_linear": {"w": p["hs_linear"]["w"], "b": p["hs_linear"]["b"] + c * 1e-30}}
-            )
-            return g["hs_linear"]["b"][0]
+    def train_scan(params, state, opt_state, sbatch, rngs, weights):
+        _, _, _, ms = multi(params, state, opt_state, sbatch, rngs, weights)
+        return ms
 
-        return jax.lax.fori_loop(0, CHAIN_K, body, 0.0)
-
-    fg = jax.jit(chained_grad)
-    float(fg(params))
-    t0 = time.perf_counter()
-    float(fg(params))
-    per_step = max((time.perf_counter() - t0 - roundtrip), 1e-9) / CHAIN_K
+    per_step = timed_scan(
+        train_scan, (params, state, opt_state, sbatch, rngs, weights), SCAN_K, roundtrip
+    )
     train_gps = BATCH / per_step
-    log(f"[{modality}] train fwd+bwd: {per_step * 1e3:.2f} ms / {BATCH} graphs -> {train_gps:.0f} g/s")
+    log(f"[{modality}] train step (full): {per_step * 1e3:.2f} ms / {BATCH} graphs -> {train_gps:.0f} g/s")
     return ours_gps, torch_gps, train_gps
 
 
 def bench_large_train(roundtrip, batch_graphs=64):
-    """bs64 training throughput through the chunked fused-kernel VJP
-    (collate_fit -> (chunk, level) Pallas grid) vs the XLA fallback."""
+    """bs64 full-train-step throughput through the chunked fused-kernel VJP
+    (collate_chunked -> (chunk, level) Pallas grid) vs the XLA fallback."""
     import jax
     import jax.numpy as jnp
 
-    from mgvae_tpu.data.batching import collate, collate_fit
-    from mgvae_tpu.models.dg_ae import DGConfig, forward, init_params
+    from mgvae_tpu.data.batching import pick_chunks_for
+    from mgvae_tpu.models.dg_ae import DGConfig, init_params
+    from mgvae_tpu.train.step import make_multi_step, make_optimizer
 
     cfg = DGConfig(modality="mig", dim_hidden=64, layernorm=True)
-    params, _ = init_params(jax.random.PRNGKey(0), cfg)
-    graphs = make_dataset("mig", seed=7, n=batch_graphs)
+    params, state = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-4)
+    opt_state = opt.init(params)
+    weights = jnp.asarray([1.0, 4.0, 2.0, 0.0])
+    rngs = jax.random.split(jax.random.PRNGKey(5), SCAN_K_BIG)
 
-    def timed_grad(batch, use_pallas):
-        tgt = jax.random.normal(jax.random.PRNGKey(3), (batch["gate"].shape[0], cfg.dim_hidden))
+    def timed(chunks):
+        sbatch, _ = stacked_batches("mig", 7, SCAN_K_BIG, batch_graphs, chunks=chunks)
+        multi = make_multi_step(cfg, opt, None, donate=False)
 
-        def train_loss(p):
-            hs, hf, _ = forward(p, batch, cfg, use_pallas=use_pallas)
-            m = batch["node_valid"][:, None]
-            return jnp.sum(jnp.where(m, (hf - tgt) ** 2, 0.0))
+        def train_scan(params, state, opt_state, sbatch, rngs, weights):
+            _, _, _, ms = multi(params, state, opt_state, sbatch, rngs, weights)
+            return ms
 
-        def chained(p):
-            def body(i, c):
-                g = jax.grad(train_loss)(
-                    {**p, "hs_linear": {"w": p["hs_linear"]["w"], "b": p["hs_linear"]["b"] + c * 1e-30}}
-                )
-                return g["hs_linear"]["b"][0]
+        return timed_scan(
+            train_scan, (params, state, opt_state, sbatch, rngs, weights),
+            SCAN_K_BIG, roundtrip,
+        )
 
-            return jax.lax.fori_loop(0, CHAIN_K, body, 0.0)
-
-        f = jax.jit(chained)
-        float(f(params))
-        t0 = time.perf_counter()
-        float(f(params))
-        return max(time.perf_counter() - t0 - roundtrip, 1e-9) / CHAIN_K
-
-    t_xla = timed_grad(jax.tree.map(jnp.asarray, collate(graphs)), False)
-    t_krn = timed_grad(jax.tree.map(jnp.asarray, collate_fit(graphs)), True)
+    # C chosen as the trainer would (smallest C whose chunk dims fit VMEM)
+    C = pick_chunks_for(make_dataset("mig", 7, n=batch_graphs), cfg.dim_hidden)
+    t_krn = timed(C)
+    # C=1 exceeds kernel_fits -> _auto_pallas falls to the HBM-streamed
+    # kernel when its gate admits the dims, else the XLA scan
+    t_one = timed(1)
     log(
-        f"[bs{batch_graphs} train] chunked-kernel {t_krn * 1e3:.2f} ms ({batch_graphs / t_krn:.0f} g/s) "
-        f"vs XLA {t_xla * 1e3:.2f} ms ({batch_graphs / t_xla:.0f} g/s) -> {t_xla / t_krn:.2f}x"
+        f"[bs{batch_graphs} train] chunked-kernel(C={C}) {t_krn * 1e3:.2f} ms "
+        f"({batch_graphs / t_krn:.0f} g/s) vs unchunked-auto {t_one * 1e3:.2f} ms "
+        f"({batch_graphs / t_one:.0f} g/s) -> {t_one / t_krn:.2f}x"
     )
-    return batch_graphs / t_krn, batch_graphs / t_xla
+    return batch_graphs / t_krn, batch_graphs / t_one
 
 
 def main():
@@ -267,13 +296,17 @@ def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     roundtrip = measure_roundtrip()
     log(f"host<->device sync latency: {roundtrip * 1e3:.1f} ms (subtracted)")
+    log("protocol v2: hoist-proof (scan over distinct batches); round-1 "
+        "chained-same-batch numbers were inflated ~4-8x fwd / ~3x grad by "
+        "XLA loop-invariant hoisting — see bench.py docstring")
     # all four modalities (xmg = 5-expert dispatch, the worst case)
     res = {}
     for i, mod in enumerate(("aig", "mig", "xag", "xmg")):
         res[mod] = bench_modality(mod, seed=i, roundtrip=roundtrip)
     big_kernel, big_xla = bench_large_train(roundtrip)
     # headline metric unchanged from round 1 (aig+mig harmonic mean) so
-    # rounds stay comparable; the wider coverage rides in "extra"
+    # rounds stay comparable in NAME; values are NOT comparable to r01
+    # (protocol v2 above measures strictly more honestly)
     ours = 2.0 / (1.0 / res["aig"][0] + 1.0 / res["mig"][0])
     base = 2.0 / (1.0 / res["aig"][1] + 1.0 / res["mig"][1])
     print(
@@ -284,6 +317,7 @@ def main():
                 "unit": "graphs/s",
                 "vs_baseline": round(ours / base, 2),
                 "extra": {
+                    "protocol": "v2 hoist-proof scan-distinct-batches; not comparable to r01 values",
                     **{
                         f"{m}_encode_gps": round(r[0], 1)
                         for m, r in res.items()
@@ -293,7 +327,7 @@ def main():
                         for m, r in res.items()
                     },
                     "bs64_train_gps_chunked_kernel": round(big_kernel, 1),
-                    "bs64_train_gps_xla": round(big_xla, 1),
+                    "bs64_train_gps_unchunked_auto": round(big_xla, 1),
                 },
             }
         )

@@ -885,6 +885,21 @@ def collate_fit(
     return last if last is not None else b
 
 
+def pick_chunks_for(graphs: list[CircuitGraph], dim_hidden: int) -> int:
+    """Smallest chunk count C whose per-chunk padded dims pass the fused
+    kernel's VMEM gate (the choice the trainer's fixed-dims pass makes);
+    1 when the batch already fits or the native stats pass is unavailable."""
+    from ..ops.pallas.level_kernel import kernel_fits
+
+    for c in range(1, len(graphs) + 1):
+        d = chunked_shard_dims(graphs, c)
+        if d is None:
+            return 1
+        if kernel_fits(d["N"], d["EP"], d["NP"], dim_hidden):
+            return c
+    return 1
+
+
 def batch_shape_key(batch: dict) -> tuple:
     """Hashable static-shape signature (jit cache key for diagnostics)."""
     return tuple(

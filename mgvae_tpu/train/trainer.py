@@ -16,6 +16,7 @@ set_training_args, train(num_epoch, train_ds, val_ds), save/load/resume.
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -34,6 +35,19 @@ from .step import METRIC_KEYS as _METRIC_KEYS, make_multi_step, make_optimizer, 
 @jax.jit
 def _pack_metrics(m):
     return jnp.stack([m[k] for k in _METRIC_KEYS])
+
+
+# Counter-based per-step keys: fold_in(epoch_key, global_step) makes the rng
+# stream independent of HOW steps are dispatched (per-step vs K-grouped), so
+# the multi-step path is bitwise-identical to the per-step path, and a whole
+# group's keys cost ONE dispatch (jax.random.split per step measured
+# 1.3 ms/step of pure dispatch overhead on the tunneled chip).
+_fold1 = jax.jit(jax.random.fold_in)
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _fold_keys(key, start, k):
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(start + jnp.arange(k))
 
 
 def _same_shapes(batches: list) -> bool:
@@ -375,6 +389,61 @@ class Trainer:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def _iter_grouped(self, dataset, use_multi: bool):
+        """Yields ("group", (device_sbatch, k)) / ("single", host_batch).
+
+        When multi-step is active, a second prefetch stage groups K batches,
+        packs them, and starts the (async) device transfer AHEAD of the
+        consumer — the ~0.7 MB/step batch bytes over the ~85 MB/s tunnel
+        are the e2e bottleneck (measured 9.7 ms/step exposed when packed
+        inline), and prefetching hides them under the previous group's
+        device time. Odd-shape groups and tails fall back to singles."""
+        if not use_multi:
+            for batch in self._iter_batches(dataset, shuffle=True):
+                yield "single", batch
+            return
+
+        import queue
+        import threading
+
+        K = self.steps_per_call
+        gq: queue.Queue = queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                group = []
+
+                def flush():
+                    nonlocal group
+                    if len(group) == K and _same_shapes(group):
+                        gq.put(("group", (self._packer.to_device_steps(group), K)))
+                    else:
+                        for b in group:
+                            gq.put(("single", b))
+                    group = []
+
+                for batch in self._iter_batches(dataset, shuffle=True):
+                    if isinstance(next(iter(batch.values())), jax.Array):
+                        gq.put(("single", batch))  # multi-host global arrays
+                        continue
+                    group.append(batch)
+                    if len(group) == K:
+                        flush()
+                flush()
+                gq.put(None)
+            except BaseException as e:  # propagate instead of hanging
+                gq.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = gq.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def _to_device(self, batch: dict) -> dict:
         """ONE host->device transfer for the whole step (utils/transfer):
         cuts ~33 per-array puts (each with host-side sharding/bookkeeping
@@ -417,10 +486,14 @@ class Trainer:
                             f"|Func: {mm['func_loss']:.4f}"
                         )
 
+                # per-step keys are fold_in(epoch_key, step): identical
+                # stream whether steps run singly or K-grouped
+                self._rng, epoch_key = jax.random.split(self._rng)
+
                 def run_single(batch):
                     nonlocal steps_done
                     batch = self._to_device(batch)
-                    rng = self._next_rng()
+                    rng = _fold1(epoch_key, steps_done)
                     if phase == "train":
                         self.params, self.state, self.opt_state, m = self.train_step(
                             self.params, self.state, self.opt_state, batch, rng, weights
@@ -431,20 +504,14 @@ class Trainer:
                     steps_done += 1
                     log_progress(pending[-1])
 
-                def run_group(group):
+                def run_group(sbatch, k):
                     nonlocal steps_done
-                    if not _same_shapes(group):  # dynamic dims: can't stack
-                        for b in group:
-                            run_single(b)
-                        return
-                    sbatch = self._packer.to_device_steps(group)
-                    # same rng stream as the per-step path (bitwise parity)
-                    rngs = jnp.stack([self._next_rng() for _ in group])
+                    rngs = _fold_keys(epoch_key, steps_done, k)
                     self.params, self.state, self.opt_state, ms = self.multi_step(
                         self.params, self.state, self.opt_state, sbatch, rngs, weights
                     )
                     pending.append(ms)
-                    steps_done += len(group)
+                    steps_done += k
                     log_progress(ms)
 
                 use_multi = (
@@ -452,17 +519,11 @@ class Trainer:
                     and self.multi_step is not None
                     and jax.process_count() == 1
                 )
-                group = []
-                for batch in self._iter_batches(ds, shuffle=True):
-                    if not use_multi or isinstance(next(iter(batch.values())), jax.Array):
-                        run_single(batch)
-                        continue
-                    group.append(batch)
-                    if len(group) == self.steps_per_call:
-                        run_group(group)
-                        group = []
-                for b in group:  # tail: per-step path (already compiled)
-                    run_single(b)
+                for kind, item in self._iter_grouped(ds, use_multi):
+                    if kind == "group":
+                        run_group(*item)
+                    else:
+                        run_single(item)
                 rows = (
                     np.asarray(jnp.concatenate([p.reshape(-1, len(mkeys)) for p in pending]))
                     if pending else np.zeros((0, len(mkeys)))

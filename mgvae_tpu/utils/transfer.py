@@ -8,12 +8,18 @@ slices every array per device in Python. ArenaPacker packs the whole batch
 into ONE contiguous uint8 arena host-side (one memcpy pass over the batch
 bytes), ships it in a single (sharded) transfer, and splits it back into
 typed arrays on device with one jitted unpack call (static offsets ->
-slice + bitcast; XLA fuses the copies). Single-device wall clock is neutral
-(e2e A/B: 559 vs 568 g/s); the win is host CPU per step and the dp path.
+slice + bitcast; XLA fuses the copies).
 
 ``to_device_steps`` packs a GROUP of K same-shape step batches into one
 [K, (dp,) bytes] arena for the multi-step scanned train step
 (train/step.make_multi_step) — K steps ride one transfer + one dispatch.
+
+Wire narrowing: the tunnel moves ~85 MB/s, so batch BYTES are the e2e
+bottleneck (measured 9.7 ms/step of a 5.9 MB bs16 group). Integer arrays
+are shipped in the smallest dtype their values fit (index tables are node
+ids < N, slots < 128, gate types < 8 -> int16/int8) and widened back to
+their logical dtype on device; exact, decided per call from the actual
+min/max, so it is content-safe by construction. Floats ship unchanged.
 
 A fresh arena is allocated per call: the CPU backend may zero-copy alias
 numpy buffers into jax Arrays, so reuse would corrupt in-flight batches
@@ -29,17 +35,34 @@ import numpy as np
 _ALIGN = 8
 
 
-def _layout(batch: dict, n_lead: int):
-    """((key, dtype_str, per-item shape, offset), ...), total per-item bytes.
-    ``n_lead`` leading axes (step/dp) are excluded from the per-item shape."""
+def _wire_dtype(a: np.ndarray, lo: int, hi: int) -> str:
+    """Smallest exact wire dtype for an integer array with values [lo, hi]."""
+    for cand in (np.int8, np.int16, np.int32):
+        info = np.iinfo(cand)
+        if info.min <= lo and hi <= info.max:
+            return np.dtype(cand).str
+    return np.dtype(np.int64).str
+
+
+def _plan(batches: list, n_lead: int):
+    """((key, logical_dt, wire_dt, per-item shape, offset), ...), total bytes.
+    ``n_lead`` leading axes (step/dp) are excluded from the per-item shape.
+    Wire dtypes are chosen from the actual value ranges across ``batches``."""
     items = []
     off = 0
-    for k in sorted(batch):
-        a = np.asarray(batch[k])
-        shape = a.shape[n_lead:]
-        nbytes = int(np.prod(shape, dtype=np.int64)) * a.dtype.itemsize
+    for k in sorted(batches[0]):
+        a0 = np.asarray(batches[0][k])
+        shape = a0.shape[n_lead:]
+        wire = a0.dtype.str
+        if a0.dtype.kind == "i" and a0.size:
+            lo = min(int(np.asarray(b[k]).min()) for b in batches)
+            hi = max(int(np.asarray(b[k]).max()) for b in batches)
+            wire = _wire_dtype(a0, lo, hi)
+        elif a0.dtype.kind == "i":
+            wire = np.dtype(np.int8).str
+        nbytes = int(np.prod(shape, dtype=np.int64)) * np.dtype(wire).itemsize
         off = (off + _ALIGN - 1) // _ALIGN * _ALIGN
-        items.append((k, a.dtype.str, tuple(int(s) for s in shape), off))
+        items.append((k, a0.dtype.str, wire, tuple(int(s) for s in shape), off))
         off += nbytes
     return tuple(items), off
 
@@ -49,22 +72,38 @@ def _make_unpack(items, total, n_lead):
     def unpack(arena):  # arena: [*lead, B] u8
         out = {}
         lead = arena.shape[:n_lead]
-        for k, dt, shape, off in items:
-            dtype = np.dtype(dt)
+        for k, logical_dt, wire_dt, shape, off in items:
+            logical = np.dtype(logical_dt)
+            wire = np.dtype(wire_dt)
             n = int(np.prod(shape, dtype=np.int64))
-            nbytes = n * dtype.itemsize
+            nbytes = n * wire.itemsize
             start = (0,) * n_lead + (off,)
             limit = tuple(lead) + (off + nbytes,)
             raw = jax.lax.slice(arena, start, limit)
-            raw = raw.reshape(tuple(lead) + (n, dtype.itemsize))
-            if dtype == np.bool_:
+            raw = raw.reshape(tuple(lead) + (n, wire.itemsize))
+            if logical == np.bool_:
                 v = raw[..., 0] != 0
             else:
-                v = jax.lax.bitcast_convert_type(raw, dtype)
+                v = jax.lax.bitcast_convert_type(raw, wire)
+                if wire != logical:
+                    v = v.astype(logical)
             out[k] = v.reshape(tuple(lead) + shape)
         return out
 
     return jax.jit(unpack)
+
+
+def _fill(arena_row, batch, items, lead_shape):
+    for k, logical_dt, wire_dt, shape, off in items:
+        a = np.asarray(batch[k])
+        wire = np.dtype(wire_dt)
+        nbytes = int(np.prod(shape, dtype=np.int64)) * wire.itemsize
+        if not nbytes:
+            continue
+        if a.dtype.str != wire_dt and a.dtype != np.bool_:
+            a = a.astype(wire)
+        src = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
+        arena_row[..., off : off + nbytes] = src.reshape(lead_shape + (nbytes,))
 
 
 class ArenaPacker:
@@ -86,18 +125,12 @@ class ArenaPacker:
 
     def to_device(self, batch: dict) -> dict:
         n_lead = 1 if self.mesh is not None else 0
-        items, total = _layout(batch, n_lead)
+        items, total = _plan([batch], n_lead)
         lead = ()
         if n_lead:
             lead = (int(np.asarray(next(iter(batch.values()))).shape[0]),)
         arena = np.zeros(lead + (total,), np.uint8)
-        for k, dt, shape, off in items:
-            a = np.asarray(batch[k])
-            nbytes = int(np.prod(shape, dtype=np.int64)) * np.dtype(dt).itemsize
-            if not nbytes:
-                continue
-            src = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
-            arena[..., off : off + nbytes] = src.reshape(lead + (nbytes,))
+        _fill(arena, batch, items, lead)
         return _make_unpack(items, total, n_lead)(self._put(arena, n_lead))
 
     def to_device_steps(self, batches: list) -> dict:
@@ -106,18 +139,11 @@ class ArenaPacker:
         k_steps = len(batches)
         per_lead = 1 if self.mesh is not None else 0
         n_lead = per_lead + 1
-        items, total = _layout(batches[0], per_lead)
+        items, total = _plan(batches, per_lead)
         lead = (k_steps,)
         if per_lead:
             lead = lead + (int(np.asarray(next(iter(batches[0].values()))).shape[0]),)
         arena = np.zeros(lead + (total,), np.uint8)
         for step, batch in enumerate(batches):
-            row = arena[step]
-            for k, dt, shape, off in items:
-                a = np.asarray(batch[k])
-                nbytes = int(np.prod(shape, dtype=np.int64)) * np.dtype(dt).itemsize
-                if not nbytes:
-                    continue
-                src = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
-                row[..., off : off + nbytes] = src.reshape(lead[1:] + (nbytes,))
+            _fill(arena[step], batch, items, lead[1:])
         return _make_unpack(items, total, n_lead)(self._put(arena, n_lead))
