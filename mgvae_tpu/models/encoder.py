@@ -50,13 +50,14 @@ def blocked_neighbor_sum(state, src_tbl, slot_tbl, valid_tbl, block_d: int = 128
     """sum of state rows over in/out-neighbors, via blocked dense matmuls.
 
     src_tbl/slot_tbl/valid_tbl: [nb, Eb] (see batching._blocked_tables).
-    Returns [nb*block_d, D].
+    state: [..., N, D] (optional leading axes, e.g. the stacked source/
+    target towers). Returns [..., nb*block_d, D].
     """
-    msgs = state[src_tbl]                                    # [nb, Eb, D]
+    msgs = jnp.take(state, src_tbl, axis=-2)                 # [..., nb, Eb, D]
     slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_d), 2)
     onehot = ((slot_tbl[..., None] == slots) & valid_tbl[..., None]).astype(state.dtype)
-    agg = jnp.einsum("bes,bed->bsd", onehot, msgs)           # [nb, Bd, D]
-    return agg.reshape(-1, state.shape[-1])
+    agg = jnp.einsum("bes,...bed->...bsd", onehot, msgs)     # [..., nb, Bd, D]
+    return agg.reshape(state.shape[:-2] + (-1, state.shape[-1]))
 
 
 def _blocked_neighbor_sum_t(state, fwd_tbls, rev_tbls):
@@ -146,7 +147,47 @@ def direct_multigcn_init(key, dim_hidden: int, dim_feature: int, layernorm: bool
     }
 
 
+def _multigcn_apply_stacked(params_st, x_feat, batch, num_rounds, layernorm):
+    """Both towers in one pass: params stacked on a leading [2] axis, state
+    [2, N, D]. The neighbor sum is leading-dim aware (linear_call has no
+    vmap rule), everything per-tower (AggConv matmul, GRU, layernorm) is
+    vmapped — every matmul runs at double batch."""
+    n = x_feat.shape[0]
+    dim = params_st["aggr"]["w"].shape[-1]
+    state = jnp.ones((2, n, dim), x_feat.dtype)
+    deg_in = batch["deg_in"].astype(x_feat.dtype)
+    deg_out = batch["deg_out"].astype(x_feat.dtype)
+
+    def per_tower(aggr_p, gru_p, ln_p, nbr_t, st_t, deg):
+        msg = nbr_t @ aggr_p["w"] + deg[:, None] * aggr_p["b"]
+        st = gru_cell_apply(gru_p, jnp.concatenate([msg, x_feat], axis=-1), st_t)
+        if layernorm:
+            st = layernorm_apply(ln_p, st)
+        return st
+
+    ln_st = params_st.get("ln")
+    tower = jax.vmap(per_tower, in_axes=(0, 0, 0 if layernorm else None, 0, 0, None))
+
+    def half_round(state, aggr_key, gru_key, reverse, deg):
+        nbr = _neighbor_sum(state, batch, reverse)
+        return tower(params_st[aggr_key], params_st[gru_key], ln_st, nbr, state, deg)
+
+    for _ in range(num_rounds):
+        state = half_round(state, "aggr", "update", False, deg_in)
+        state = half_round(state, "aggr_r", "update_r", True, deg_out)
+    return state[0], state[1]
+
+
 def direct_multigcn_apply(params, x_feat, batch, s_rounds, t_rounds, layernorm):
+    if s_rounds == t_rounds and "fa_src" in batch and "ra_src" in batch and "deg_in" in batch:
+        # the towers are independent and share x_feat/batch: run them
+        # stacked so every matmul/GRU feeds the MXU at double batch.
+        # Reference runs them sequentially (digae_layer.py:280-297); same
+        # math either way (parity-tested vs the sequential path).
+        stacked = jax.tree.map(
+            lambda a, b: jnp.stack([a, b]), params["source"], params["target"]
+        )
+        return _multigcn_apply_stacked(stacked, x_feat, batch, s_rounds, layernorm)
     s = multigcn_apply(params["source"], x_feat, batch, s_rounds, layernorm)
     t = multigcn_apply(params["target"], x_feat, batch, t_rounds, layernorm)
     return s, t

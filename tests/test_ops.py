@@ -199,3 +199,25 @@ def test_multigcn_grads_with_transposed_vjp():
     g_seg = jax.grad(loss)(params, seg_batch)["struct"]
     for a, b in zip(jax.tree.leaves(g_blk), jax.tree.leaves(g_seg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_stacked_towers_match_sequential():
+    """direct_multigcn_apply's stacked (double-batch) path must equal the
+    sequential per-tower path."""
+    from mgvae_tpu.data.batching import collate
+    from mgvae_tpu.data.synthetic import random_circuit
+    from mgvae_tpu.models.dg_ae import DGConfig, init_params, struct_input
+    from mgvae_tpu.models.encoder import direct_multigcn_apply, multigcn_apply
+
+    rng = np.random.default_rng(2)
+    graphs = [random_circuit(rng, "mig", num_inputs=4, num_gates=40) for _ in range(3)]
+    batch = {k: jnp.asarray(v) for k, v in collate(graphs).items()}
+    for layernorm in (True, False):
+        cfg = DGConfig(modality="mig", dim_hidden=16, s_rounds=3, t_rounds=3, layernorm=layernorm)
+        params, _ = init_params(jax.random.PRNGKey(layernorm), cfg)
+        x = struct_input(batch["gate"], cfg, jnp.float32)
+        s0 = multigcn_apply(params["struct"]["source"], x, batch, 3, layernorm)
+        t0 = multigcn_apply(params["struct"]["target"], x, batch, 3, layernorm)
+        s1, t1 = direct_multigcn_apply(params["struct"], x, batch, 3, 3, layernorm)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-5, atol=1e-6)
