@@ -30,6 +30,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 _ALIGN = 8
@@ -44,26 +45,54 @@ def _wire_dtype(a: np.ndarray, lo: int, hi: int) -> str:
     return np.dtype(np.int64).str
 
 
+_BITS = "bits"  # wire marker: bool array packed 8 elements/byte
+
+
+def _int_valued(batches, k):
+    """True when every float value is an exact small integer (e.g. degree
+    counts) — then int16 wire is lossless."""
+    for b in batches:
+        a = np.asarray(b[k])
+        if not a.size:
+            continue
+        if not (np.all(np.isfinite(a)) and np.all(a == np.floor(a))
+                and a.min() >= -32768 and a.max() <= 32767):
+            return False
+    return True
+
+
+def _wire_bytes(wire, n):
+    if wire == _BITS:
+        return (n + 7) // 8
+    return n * np.dtype(wire).itemsize
+
+
 def _plan(batches: list, n_lead: int):
     """((key, logical_dt, wire_dt, per-item shape, offset), ...), total bytes.
     ``n_lead`` leading axes (step/dp) are excluded from the per-item shape.
-    Wire dtypes are chosen from the actual value ranges across ``batches``."""
+    Wire dtypes are chosen from the actual values across ``batches``: ints
+    narrow to the smallest exact dtype, bools bitpack 8/byte, and
+    integer-valued floats (degree counts) ship as int16 — all lossless."""
     items = []
     off = 0
     for k in sorted(batches[0]):
         a0 = np.asarray(batches[0][k])
         shape = a0.shape[n_lead:]
         wire = a0.dtype.str
-        if a0.dtype.kind == "i" and a0.size:
+        if a0.dtype == np.bool_:
+            wire = _BITS
+        elif a0.dtype.kind == "i" and a0.size:
             lo = min(int(np.asarray(b[k]).min()) for b in batches)
             hi = max(int(np.asarray(b[k]).max()) for b in batches)
             wire = _wire_dtype(a0, lo, hi)
         elif a0.dtype.kind == "i":
             wire = np.dtype(np.int8).str
-        nbytes = int(np.prod(shape, dtype=np.int64)) * np.dtype(wire).itemsize
+        elif a0.dtype.kind == "f" and a0.size and _int_valued(batches, k):
+            wire = np.dtype(np.int16).str
+        n = int(np.prod(shape, dtype=np.int64))
         off = (off + _ALIGN - 1) // _ALIGN * _ALIGN
         items.append((k, a0.dtype.str, wire, tuple(int(s) for s in shape), off))
-        off += nbytes
+        off += _wire_bytes(wire, n)
     return tuple(items), off
 
 
@@ -74,16 +103,19 @@ def _make_unpack(items, total, n_lead):
         lead = arena.shape[:n_lead]
         for k, logical_dt, wire_dt, shape, off in items:
             logical = np.dtype(logical_dt)
-            wire = np.dtype(wire_dt)
             n = int(np.prod(shape, dtype=np.int64))
-            nbytes = n * wire.itemsize
+            nbytes = _wire_bytes(wire_dt, n)
             start = (0,) * n_lead + (off,)
             limit = tuple(lead) + (off + nbytes,)
             raw = jax.lax.slice(arena, start, limit)
-            raw = raw.reshape(tuple(lead) + (n, wire.itemsize))
-            if logical == np.bool_:
-                v = raw[..., 0] != 0
+            if wire_dt == _BITS:
+                # little-endian bit unpack: element j of byte = bit j
+                shifts = jnp.arange(8, dtype=jnp.uint8)
+                bits = (raw[..., None] >> shifts) & jnp.uint8(1)
+                v = bits.reshape(tuple(lead) + (nbytes * 8,))[..., :n] != 0
             else:
+                wire = np.dtype(wire_dt)
+                raw = raw.reshape(tuple(lead) + (n, wire.itemsize))
                 v = jax.lax.bitcast_convert_type(raw, wire)
                 if wire != logical:
                     v = v.astype(logical)
@@ -94,16 +126,27 @@ def _make_unpack(items, total, n_lead):
 
 
 def _fill(arena_row, batch, items, lead_shape):
+    lead_n = int(np.prod(lead_shape, dtype=np.int64)) if lead_shape else 1
     for k, logical_dt, wire_dt, shape, off in items:
         a = np.asarray(batch[k])
-        wire = np.dtype(wire_dt)
-        nbytes = int(np.prod(shape, dtype=np.int64)) * wire.itemsize
+        n = int(np.prod(shape, dtype=np.int64))
+        nbytes = _wire_bytes(wire_dt, n)
         if not nbytes:
             continue
-        if a.dtype.str != wire_dt and a.dtype != np.bool_:
-            a = a.astype(wire)
-        src = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
+        if wire_dt == _BITS:
+            src = np.packbits(
+                np.ascontiguousarray(a).reshape(lead_n, n), axis=-1, bitorder="little"
+            ).reshape(-1)
+        else:
+            wire = np.dtype(wire_dt)
+            if a.dtype.str != wire_dt and a.dtype != np.bool_:
+                a = a.astype(wire)
+            src = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
         arena_row[..., off : off + nbytes] = src.reshape(lead_shape + (nbytes,))
+
+
+_WIDEN = {np.dtype(np.int8).str: 0, np.dtype(np.int16).str: 1,
+          np.dtype(np.int32).str: 2, np.dtype(np.int64).str: 3}
 
 
 class ArenaPacker:
@@ -113,6 +156,36 @@ class ArenaPacker:
 
     def __init__(self, mesh=None):
         self.mesh = mesh
+        self._plans: dict = {}
+
+    def _sticky_plan(self, batches, n_lead):
+        """Value-dependent wire choices can flicker between calls (a group
+        whose ids happen to fit int8 vs one that needs int16), and every
+        distinct plan is a fresh remote unpack compile (~15 s on the
+        tunneled chip — measured as a recurring outlier epoch). Merge each
+        call's required plan into a cached one, only ever WIDENING wire
+        dtypes, so the plan monotonically stabilizes."""
+        items, total = _plan(batches, n_lead)
+        sig = tuple((k, l, s) for k, l, _, s, _ in items) + (n_lead,)
+        cached = self._plans.get(sig)
+        if cached is None or cached[0] == items:
+            self._plans[sig] = (items, total)
+            return self._plans[sig]
+        merged = []
+        off = 0
+        for (k, l, w_new, shape, _), (_, _, w_old, _, _) in zip(items, cached[0]):
+            w = w_new
+            if w_old != w_new:
+                if w_old in _WIDEN and w_new in _WIDEN:
+                    w = w_old if _WIDEN[w_old] >= _WIDEN[w_new] else w_new
+                elif w_old == np.dtype(l).str or w_new == np.dtype(l).str:
+                    w = np.dtype(l).str  # mixed kinds (e.g. f32 vs int16): logical
+            n = int(np.prod(shape, dtype=np.int64))
+            off = (off + _ALIGN - 1) // _ALIGN * _ALIGN
+            merged.append((k, l, w, shape, off))
+            off += _wire_bytes(w, n)
+        self._plans[sig] = (tuple(merged), off)
+        return self._plans[sig]
 
     def _put(self, arena, n_lead):
         if self.mesh is not None:
@@ -125,7 +198,7 @@ class ArenaPacker:
 
     def to_device(self, batch: dict) -> dict:
         n_lead = 1 if self.mesh is not None else 0
-        items, total = _plan([batch], n_lead)
+        items, total = self._sticky_plan([batch], n_lead)
         lead = ()
         if n_lead:
             lead = (int(np.asarray(next(iter(batch.values()))).shape[0]),)
@@ -139,7 +212,7 @@ class ArenaPacker:
         k_steps = len(batches)
         per_lead = 1 if self.mesh is not None else 0
         n_lead = per_lead + 1
-        items, total = _plan(batches, per_lead)
+        items, total = self._sticky_plan(batches, per_lead)
         lead = (k_steps,)
         if per_lead:
             lead = lead + (int(np.asarray(next(iter(batches[0].values()))).shape[0]),)

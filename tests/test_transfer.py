@@ -96,3 +96,51 @@ def test_pack_steps_dp_sharded():
             np.testing.assert_array_equal(got[i], b[k], err_msg=f"{k}[{i}]")
         if batches[0][k].size:
             assert out[k].sharding.is_equivalent_to(want, out[k].ndim), k
+
+
+def test_wire_narrowing_exact():
+    """Bitpacked bools, int16/int8-narrowed ints, and int16-wired
+    integer-valued floats must round-trip exactly with logical dtypes."""
+    from mgvae_tpu.utils.transfer import _plan
+
+    rng = np.random.default_rng(5)
+    batch = {
+        "big_ids": rng.integers(0, 30000, (257,)).astype(np.int32),
+        "small_ids": rng.integers(0, 100, (130,)).astype(np.int32),
+        "flags": rng.integers(0, 2, (1001,)).astype(bool),  # odd length
+        "deg": rng.integers(0, 50, (64,)).astype(np.float32),  # int-valued f32
+        "real": rng.standard_normal((64,)).astype(np.float32),
+    }
+    items, total = _plan([batch], 0)
+    wires = {k: w for k, _, w, _, _ in items}
+    assert wires["big_ids"] == np.dtype(np.int16).str
+    assert wires["small_ids"] == np.dtype(np.int8).str
+    assert wires["flags"] == "bits"
+    assert wires["deg"] == np.dtype(np.int16).str
+    assert wires["real"] == np.dtype(np.float32).str
+    out = ArenaPacker().to_device(batch)
+    for k in batch:
+        got = np.asarray(out[k])
+        assert got.dtype == batch[k].dtype, k
+        np.testing.assert_array_equal(got, batch[k], err_msg=k)
+
+
+def test_sticky_plan_widens_monotonically():
+    """Wire plans must not flicker between calls (every distinct plan is a
+    fresh unpack compile): narrower batches reuse the widened plan."""
+    p = ArenaPacker()
+    wide = {"ids": np.full((64,), 30000, np.int32)}
+    narrow = {"ids": np.full((64,), 3, np.int32)}
+    out_w = p.to_device(wide)
+    plan_after_wide = next(iter(p._plans.values()))
+    out_n = p.to_device(narrow)
+    assert next(iter(p._plans.values())) == plan_after_wide  # no re-plan
+    np.testing.assert_array_equal(np.asarray(out_n["ids"]), narrow["ids"])
+    # narrow first, then wide: plan widens once, then narrow reuses it
+    p2 = ArenaPacker()
+    p2.to_device(narrow)
+    p2.to_device(wide)
+    widened = next(iter(p2._plans.values()))
+    out2 = p2.to_device(narrow)
+    assert next(iter(p2._plans.values())) == widened
+    np.testing.assert_array_equal(np.asarray(out2["ids"]), narrow["ids"])
