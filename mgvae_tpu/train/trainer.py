@@ -190,17 +190,9 @@ class Trainer:
         return False
 
     # ------------------------------------------------------------------
-    def _iter_batches(self, dataset, shuffle: bool):
-        """Host-side loader: shuffle, drop_last, shard across devices.
-
-        Multi-host (jax.process_count() > 1): the np rng is seeded
-        identically on every process, so all processes see the SAME shuffled
-        index list and the same global batch layout — the DistributedSampler
-        equivalent (trainer.py:179-192). Every process collates the full
-        step's shards (deterministic, a few ms, overlapped by the prefetch
-        thread — this is how the padded dims are guaranteed to agree across
-        processes without communication), then assembles a global jax.Array
-        from its local devices' slices."""
+    def _epoch_plan(self, dataset, shuffle: bool):
+        """Shared per-epoch loader setup: shuffled index list, step count,
+        fixed dims + chunking choice."""
         idx = np.arange(len(dataset))
         if shuffle:
             self._np_rng.shuffle(idx)
@@ -212,29 +204,27 @@ class Trainer:
                 f"batch_size {self.batch_size} x {self.num_devices} device(s) "
                 "(drop_last) — epoch will be empty"
             )
-        multihost = jax.process_count() > 1 and self.mesh is not None
-
         dims = None
         if self.fixed_dims:
             dims = self._update_dims_max(dataset, idx, n_steps, step_graphs)
+        return idx, n_steps, step_graphs, dims, (self._chunks or 1)
 
-        C = self._chunks or 1
+    def _iter_batches(self, dataset, shuffle: bool, plan=None):
+        """Host-side loader: shuffle, drop_last, shard across devices.
+
+        Multi-host (jax.process_count() > 1): the np rng is seeded
+        identically on every process, so all processes see the SAME shuffled
+        index list and the same global batch layout — the DistributedSampler
+        equivalent (trainer.py:179-192). Every process collates the full
+        step's shards (deterministic, a few ms, overlapped by the prefetch
+        thread — this is how the padded dims are guaranteed to agree across
+        processes without communication), then assembles a global jax.Array
+        from its local devices' slices."""
+        idx, n_steps, step_graphs, dims, C = plan or self._epoch_plan(dataset, shuffle)
+        multihost = jax.process_count() > 1 and self.mesh is not None
 
         def make(s):
-            chunk = [dataset[i] for i in idx[s * step_graphs : (s + 1) * step_graphs]]
-            if self.mesh is not None:
-                shards = [chunk[d * self.batch_size : (d + 1) * self.batch_size] for d in range(self.num_devices)]
-                batch = collate_shards(shards, dims=dims, num_chunks=C)
-                if multihost:
-                    batch = self._globalize(batch)
-                return batch
-            if dims is None and jax.default_backend() == "tpu":
-                # auto-chunk big batches so training rides the fused kernel's
-                # (chunk, level) grid instead of falling back to the XLA scan
-                return collate_fit(chunk)
-            if C > 1:
-                return collate_chunked(chunk, C, dims=dims)
-            return collate(chunk, dims=dims)
+            return self._collate_step(dataset, idx, s, step_graphs, dims, C, multihost)
 
         # background-thread prefetch: host-side collation (python/numpy)
         # overlaps device steps instead of serializing with them
@@ -262,6 +252,22 @@ class Trainer:
             if isinstance(b, BaseException):
                 raise b
             yield b
+
+    def _collate_step(self, dataset, idx, s, step_graphs, dims, C, multihost):
+        chunk = [dataset[i] for i in idx[s * step_graphs : (s + 1) * step_graphs]]
+        if self.mesh is not None:
+            shards = [chunk[d * self.batch_size : (d + 1) * self.batch_size] for d in range(self.num_devices)]
+            batch = collate_shards(shards, dims=dims, num_chunks=C)
+            if multihost:
+                batch = self._globalize(batch)
+            return batch
+        if dims is None and jax.default_backend() == "tpu":
+            # auto-chunk big batches so training rides the fused kernel's
+            # (chunk, level) grid instead of falling back to the XLA scan
+            return collate_fit(chunk)
+        if C > 1:
+            return collate_chunked(chunk, C, dims=dims)
+        return collate(chunk, dims=dims)
 
     def _update_dims_max(self, dataset, idx, n_steps, step_graphs):
         """Grow the running dims max over this epoch's actual shards (cheap
@@ -392,44 +398,57 @@ class Trainer:
     def _iter_grouped(self, dataset, use_multi: bool):
         """Yields ("group", (device_sbatch, k)) / ("single", host_batch).
 
-        When multi-step is active, a second prefetch stage groups K batches,
-        packs them, and starts the (async) device transfer AHEAD of the
-        consumer — the ~0.7 MB/step batch bytes over the ~85 MB/s tunnel
-        are the e2e bottleneck (measured 9.7 ms/step exposed when packed
-        inline), and prefetching hides them under the previous group's
-        device time. Odd-shape groups and tails fall back to singles."""
+        When multi-step is active, a prefetch thread collates a whole
+        K-step group in ONE zero-copy collate_shards call (the K steps are
+        "shards": C++ mg_collate_step fills the stacked [K, (dp,) ...]
+        buffers directly), packs it with a single vectorized arena pass,
+        and starts the (async) device transfer AHEAD of the consumer — the
+        batch bytes over the ~85 MB/s tunnel are the e2e bottleneck, and
+        prefetching hides them under the previous group's device time.
+        Tails and dynamic-dims epochs fall back to per-step batches."""
         if not use_multi:
             for batch in self._iter_batches(dataset, shuffle=True):
                 yield "single", batch
             return
 
+        plan = self._epoch_plan(dataset, shuffle=True)
+        idx, n_steps, step_graphs, dims, C = plan
+        K = self.steps_per_call
+        if dims is None or n_steps < K:
+            # dynamic shapes (no native stats) can differ between steps:
+            # stacked groups would recompile per group — stay per-step
+            for batch in self._iter_batches(dataset, shuffle=True, plan=plan):
+                yield "single", batch
+            return
+
+        bs = self.batch_size
+
+        def make_group(s0):
+            lo = s0 * step_graphs
+            chunkg = [dataset[i] for i in idx[lo : lo + K * step_graphs]]
+            n_shards = K * self.num_devices
+            shards = [chunkg[j * bs : (j + 1) * bs] for j in range(n_shards)]
+            big = collate_shards(shards, dims=dims, num_chunks=C)
+            if self.mesh is not None:  # [K*dp, ...] -> [K, dp, ...]
+                big = {
+                    k: v.reshape((K, self.num_devices) + v.shape[1:])
+                    for k, v in big.items()
+                }
+            return self._packer.to_device(big, extra_lead=1)
+
         import queue
         import threading
 
-        K = self.steps_per_call
+        n_groups = n_steps // K
         gq: queue.Queue = queue.Queue(maxsize=2)
 
         def producer():
             try:
-                group = []
-
-                def flush():
-                    nonlocal group
-                    if len(group) == K and _same_shapes(group):
-                        gq.put(("group", (self._packer.to_device_steps(group), K)))
-                    else:
-                        for b in group:
-                            gq.put(("single", b))
-                    group = []
-
-                for batch in self._iter_batches(dataset, shuffle=True):
-                    if isinstance(next(iter(batch.values())), jax.Array):
-                        gq.put(("single", batch))  # multi-host global arrays
-                        continue
-                    group.append(batch)
-                    if len(group) == K:
-                        flush()
-                flush()
+                for g in range(n_groups):
+                    gq.put(("group", (make_group(g * K), K)))
+                for s in range(n_groups * K, n_steps):  # tail: per-step
+                    gq.put(("single", self._collate_step(
+                        dataset, idx, s, step_graphs, dims, C, False)))
                 gq.put(None)
             except BaseException as e:  # propagate instead of hanging
                 gq.put(e)

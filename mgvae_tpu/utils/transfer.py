@@ -196,12 +196,18 @@ class ArenaPacker:
             return jax.device_put(arena, NamedSharding(self.mesh, spec))
         return jax.device_put(arena)
 
-    def to_device(self, batch: dict) -> dict:
-        n_lead = 1 if self.mesh is not None else 0
+    def to_device(self, batch: dict, extra_lead: int = 0) -> dict:
+        """``extra_lead``: leading axes (before the dp axis, if any) that are
+        part of the layout rather than the per-item shape — e.g. an
+        ALREADY-STACKED K-step group ([K, (dp,) ...] leaves) packs with
+        extra_lead=1 in ONE vectorized fill pass per key."""
+        n_lead = extra_lead + (1 if self.mesh is not None else 0)
         items, total = self._sticky_plan([batch], n_lead)
         lead = ()
         if n_lead:
-            lead = (int(np.asarray(next(iter(batch.values()))).shape[0]),)
+            lead = tuple(
+                int(s) for s in np.asarray(next(iter(batch.values()))).shape[:n_lead]
+            )
         arena = np.zeros(lead + (total,), np.uint8)
         _fill(arena, batch, items, lead)
         return _make_unpack(items, total, n_lead)(self._put(arena, n_lead))
