@@ -209,3 +209,37 @@ def make_multi_step(cfg: DGConfig, optimizer, mesh: Mesh | None = None, donate: 
         ),
         donate_argnums=(0, 1, 2) if donate else (),
     )
+
+
+def make_multi_eval(cfg: DGConfig, mesh: Mesh | None = None):
+    """K eval steps in ONE dispatched program (the val-phase analogue of
+    make_multi_step): multi_eval(params, state, sbatch, rngs, weights)
+    -> metrics[K, len(METRIC_KEYS)]. Same dispatch-amortization rationale."""
+
+    def _eval1(params, state, batch, rng, weights):
+        _, (_, metrics) = loss_and_metrics(params, state, batch, rng, weights, cfg, False)
+        if mesh is not None:
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "dp"), metrics)
+        return jnp.stack([metrics[k] for k in METRIC_KEYS])
+
+    def _scan(params, state, sbatch, rngs, weights, *, sharded: bool):
+        def body(carry, xs):
+            b, r = xs
+            if sharded:
+                b = jax.tree.map(lambda x: x[0], b)
+                r = jax.random.fold_in(r, jax.lax.axis_index("dp"))
+            return carry, _eval1(params, state, b, r, weights)
+        return jax.lax.scan(body, 0, (sbatch, rngs))[1]
+
+    if mesh is None:
+        return jax.jit(functools.partial(_scan, sharded=False))
+
+    rep = P()
+    return jax.jit(
+        shard_map(
+            functools.partial(_scan, sharded=True), mesh=mesh,
+            in_specs=(rep, rep, P(None, "dp"), rep, rep),
+            out_specs=rep,
+            check_vma=False,
+        )
+    )

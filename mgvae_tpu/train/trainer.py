@@ -29,7 +29,14 @@ from ..models.dg_ae import DGConfig, init_params
 from ..parallel.mesh import make_dp_mesh
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logger import AverageMeter, Logger
-from .step import METRIC_KEYS as _METRIC_KEYS, make_multi_step, make_optimizer, make_train_step, set_lr
+from .step import (
+    METRIC_KEYS as _METRIC_KEYS,
+    make_multi_eval,
+    make_multi_step,
+    make_optimizer,
+    make_train_step,
+    set_lr,
+)
 
 
 @jax.jit
@@ -134,6 +141,9 @@ class Trainer:
         self.multi_step = (
             make_multi_step(model_cfg, self.optimizer, self.mesh)
             if self.steps_per_call > 1 else None
+        )
+        self.multi_eval = (
+            make_multi_eval(model_cfg, self.mesh) if self.steps_per_call > 1 else None
         )
         from ..utils.transfer import ArenaPacker
 
@@ -526,18 +536,17 @@ class Trainer:
                 def run_group(sbatch, k):
                     nonlocal steps_done
                     rngs = _fold_keys(epoch_key, steps_done, k)
-                    self.params, self.state, self.opt_state, ms = self.multi_step(
-                        self.params, self.state, self.opt_state, sbatch, rngs, weights
-                    )
+                    if phase == "train":
+                        self.params, self.state, self.opt_state, ms = self.multi_step(
+                            self.params, self.state, self.opt_state, sbatch, rngs, weights
+                        )
+                    else:
+                        ms = self.multi_eval(self.params, self.state, sbatch, rngs, weights)
                     pending.append(ms)
                     steps_done += k
                     log_progress(ms)
 
-                use_multi = (
-                    phase == "train"
-                    and self.multi_step is not None
-                    and jax.process_count() == 1
-                )
+                use_multi = self.multi_step is not None and jax.process_count() == 1
                 for kind, item in self._iter_grouped(ds, use_multi):
                     if kind == "group":
                         run_group(*item)

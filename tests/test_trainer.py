@@ -158,7 +158,7 @@ def test_multi_step_matches_per_step(tmp_path):
         )
         for k in (4, 1)
     ]
-    ms = [tr.train(2, ds, ds[:4]) for tr in trs]
+    ms = [tr.train(2, ds, ds[:16]) for tr in trs]  # 4 val steps -> one eval group
     _leaves_allclose(trs[0].params, trs[1].params, rtol=2e-5, atol=1e-6)
     _leaves_allclose(trs[0].state, trs[1].state, rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(ms[0]["recon"], ms[1]["recon"], rtol=1e-4)
