@@ -231,6 +231,11 @@ def bench_modality(modality, seed, roundtrip):
         _, _, _, ms = multi(params, state, opt_state, sbatch, rngs, weights)
         return ms
 
+    # value-check the timed path: all-NaN chunked-kernel grads once hid
+    # behind a timing-only benchmark (round 2) — never again
+    ms = train_scan(params, state, opt_state, sbatch, rngs, weights)
+    assert np.isfinite(np.asarray(ms)).all(), f"non-finite train metrics: {np.asarray(ms)[:2]}"
+
     per_step = timed_scan(
         train_scan, (params, state, opt_state, sbatch, rngs, weights), SCAN_K, roundtrip
     )
@@ -264,19 +269,26 @@ def bench_large_train(roundtrip, batch_graphs=64):
             _, _, _, ms = multi(params, state, opt_state, sbatch, rngs, weights)
             return ms
 
+        ms = train_scan(params, state, opt_state, sbatch, rngs, weights)
+        assert np.isfinite(np.asarray(ms)).all(), \
+            f"non-finite bs{batch_graphs} C={chunks} train metrics"
         return timed_scan(
             train_scan, (params, state, opt_state, sbatch, rngs, weights),
             SCAN_K_BIG, roundtrip,
         )
 
-    # C chosen as the trainer would (smallest C whose chunk dims fit VMEM)
+    # C chosen as the trainer would (smallest C whose chunk dims fit VMEM).
+    # NOTE: chunked TRAINING currently runs the kernel forward with XLA
+    # autodiff — the chunked backward kernel NaNs on real TPU (see
+    # train/step._auto_pallas); the chunked collation still wins by
+    # shrinking padded dims.
     C = pick_chunks_for(make_dataset("mig", 7, n=batch_graphs), cfg.dim_hidden)
     t_krn = timed(C)
     # C=1 exceeds kernel_fits -> _auto_pallas falls to the HBM-streamed
     # kernel when its gate admits the dims, else the XLA scan
     t_one = timed(1)
     log(
-        f"[bs{batch_graphs} train] chunked-kernel(C={C}) {t_krn * 1e3:.2f} ms "
+        f"[bs{batch_graphs} train] chunked(C={C}) {t_krn * 1e3:.2f} ms "
         f"({batch_graphs / t_krn:.0f} g/s) vs unchunked-auto {t_one * 1e3:.2f} ms "
         f"({batch_graphs / t_one:.0f} g/s) -> {t_one / t_krn:.2f}x"
     )

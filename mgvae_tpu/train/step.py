@@ -44,13 +44,22 @@ def set_lr(opt_state, lr):
     return opt_state
 
 
-def _auto_pallas(batch, cfg: DGConfig) -> bool:
+def _auto_pallas(batch, cfg: DGConfig, train: bool = False) -> bool:
     """Use the fused Pallas level kernel (with its hand-written VJP) when on
     TPU and each batch chunk fits VMEM. Decided at trace time from static
     shapes. Large batches built with collate_chunked/collate_fit carry a
     leading [C, L] level-table axis; the kernel's VMEM footprint is then one
     chunk, so any batch size qualifies as long as the chunks were sized to
-    kernel_fits."""
+    kernel_fits.
+
+    KNOWN ISSUE (found by value-checking on the real chip, round 2): the
+    CHUNKED (C>1) backward kernel returns all-NaN gradients on real TPU
+    hardware while its forward is correct and the same backward passes the
+    interpret-mode parity tests on CPU — a Mosaic-specific bug in
+    _level_bwd_kernel, not yet root-caused (tmp/exp_nan*.py reproduce it;
+    C=1 fwd+bwd and C>1 fwd are verified clean). Until it is fixed, chunked
+    TRAINING falls back to XLA autodiff (correct, ~1.5x slower at bs64);
+    chunked inference/eval keeps the kernel."""
     if cfg.num_rounds != 1 or jax.default_backend() != "tpu":
         return False
     from ..ops.pallas.level_kernel import kernel_fits, kernel_fits_hbm_bwd
@@ -59,6 +68,8 @@ def _auto_pallas(batch, cfg: DGConfig) -> bool:
     num_chunks = lv.shape[0] if lv.ndim == 3 else 1
     n_sub = batch["gate"].shape[0] // num_chunks
     ep, np_ = batch["lv_edge_src"].shape[-1], lv.shape[-1]
+    if train and num_chunks > 1:
+        return False
     if kernel_fits(n_sub, ep, np_, cfg.dim_hidden):
         return True
     # giant single graphs: HBM-streamed variant, fwd + bwd
@@ -74,7 +85,7 @@ def loss_and_metrics(params, state, batch, rng, weights, cfg: DGConfig, train: b
     k_vae, k_neg, k_drop = jax.random.split(rng, 3)
     hs, hf, aux = forward(
         params, batch, cfg, rng=k_vae if cfg.variational else None,
-        use_pallas=_auto_pallas(batch, cfg),
+        use_pallas=_auto_pallas(batch, cfg, train=train),
     )
     rc, rc_metrics = recon_loss(params, hs, batch, k_neg,
                                 mask_collisions=cfg.neg_collision_mask)
