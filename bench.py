@@ -277,18 +277,14 @@ def bench_large_train(roundtrip, batch_graphs=64):
             SCAN_K_BIG, roundtrip,
         )
 
-    # C chosen as the trainer would (smallest C whose chunk dims fit VMEM).
-    # NOTE: chunked TRAINING currently runs the kernel forward with XLA
-    # autodiff — the chunked backward kernel NaNs on real TPU (see
-    # train/step._auto_pallas); the chunked collation still wins by
-    # shrinking padded dims.
+    # C chosen as the trainer would (smallest C whose chunk dims fit VMEM)
     C = pick_chunks_for(make_dataset("mig", 7, n=batch_graphs), cfg.dim_hidden)
     t_krn = timed(C)
     # C=1 exceeds kernel_fits -> _auto_pallas falls to the HBM-streamed
     # kernel when its gate admits the dims, else the XLA scan
     t_one = timed(1)
     log(
-        f"[bs{batch_graphs} train] chunked(C={C}) {t_krn * 1e3:.2f} ms "
+        f"[bs{batch_graphs} train] chunked-kernel(C={C}) {t_krn * 1e3:.2f} ms "
         f"({batch_graphs / t_krn:.0f} g/s) vs unchunked-auto {t_one * 1e3:.2f} ms "
         f"({batch_graphs / t_one:.0f} g/s) -> {t_one / t_krn:.2f}x"
     )

@@ -145,14 +145,20 @@ def prob_loss(params, state, hf, batch, train: bool, rng):
 
 
 def func_loss(hf, batch):
-    a = hf[batch["tt_pair_a"]]
-    b = hf[batch["tt_pair_b"]]
+    valid = batch["tt_valid"]
+    # mask BEFORE the norm (same rule as the softmaxes): padding pairs can
+    # gather all-zero hf rows, and d(norm)/da at 0 is 0/0 = NaN — the
+    # maximum(., eps) clamps the VALUE but not the cotangent. XLA's sparse
+    # gather-transpose happens to never read those NaN rows; the fused
+    # kernel's dense one-hot matmuls do (0 * NaN = NaN poisoned every grad
+    # in chunked training on real TPU until this fix).
+    a = jnp.where(valid[:, None], hf[batch["tt_pair_a"]], 1.0)
+    b = jnp.where(valid[:, None], hf[batch["tt_pair_b"]], 1.0)
     # torch.cosine_similarity(eps): norms clamped to eps individually
     na = jnp.maximum(jnp.linalg.norm(a, axis=-1), _COS_EPS)
     nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), _COS_EPS)
     cos = jnp.sum(a * b, axis=-1) / (na * nb)
     emb_dis = 1.0 - cos
-    valid = batch["tt_valid"]
     count = jnp.maximum(batch["n_tt"].astype(hf.dtype), 1.0)
     emb_z = masked_zscore(emb_dis, valid, count)
     tt_z = masked_zscore(batch["tt_dis"], valid, count)

@@ -52,14 +52,12 @@ def _auto_pallas(batch, cfg: DGConfig, train: bool = False) -> bool:
     chunk, so any batch size qualifies as long as the chunks were sized to
     kernel_fits.
 
-    KNOWN ISSUE (found by value-checking on the real chip, round 2): the
-    CHUNKED (C>1) backward kernel returns all-NaN gradients on real TPU
-    hardware while its forward is correct and the same backward passes the
-    interpret-mode parity tests on CPU — a Mosaic-specific bug in
-    _level_bwd_kernel, not yet root-caused (tmp/exp_nan*.py reproduce it;
-    C=1 fwd+bwd and C>1 fwd are verified clean). Until it is fixed, chunked
-    TRAINING falls back to XLA autodiff (correct, ~1.5x slower at bs64);
-    chunked inference/eval keeps the kernel."""
+    History (round 2): chunked TRAINING briefly produced all-NaN grads on
+    the real chip — root-caused to func_loss's unmasked-norm cosine
+    backward emitting NaN cotangents at padding pairs, which XLA's sparse
+    transpose never reads but the kernel's dense one-hot matmuls ingest
+    (0 * NaN = NaN). Fixed at the source (train/losses.func_loss masks
+    before the norm); bench.py value-checks every path it times since."""
     if cfg.num_rounds != 1 or jax.default_backend() != "tpu":
         return False
     from ..ops.pallas.level_kernel import kernel_fits, kernel_fits_hbm_bwd
@@ -68,8 +66,6 @@ def _auto_pallas(batch, cfg: DGConfig, train: bool = False) -> bool:
     num_chunks = lv.shape[0] if lv.ndim == 3 else 1
     n_sub = batch["gate"].shape[0] // num_chunks
     ep, np_ = batch["lv_edge_src"].shape[-1], lv.shape[-1]
-    if train and num_chunks > 1:
-        return False
     if kernel_fits(n_sub, ep, np_, cfg.dim_hidden):
         return True
     # giant single graphs: HBM-streamed variant, fwd + bwd
