@@ -6,6 +6,9 @@ then runs a (chunk, level) grid with a per-chunk VMEM-resident state and its
 hand-written VJP — constant VMEM at any batch size, ~2.4x over the XLA scan
 for bs64 gradient steps on a v5e chip.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
