@@ -176,6 +176,7 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1,
     lv_edge_dst_slot = np.zeros((L, EP), dtype=np.int32)
     lv_edge_valid = np.zeros((L, EP), dtype=bool)
     lv_edge_id = np.full((L, EP), E - 1, dtype=np.int32)  # index into edge arrays
+    edge_lv_row = np.zeros(E, dtype=np.int32)  # edge -> flat (level, rank) slot
 
     # vectorized fill: rank-within-level for nodes and edges (no python loop)
     slot_of = np.zeros(N, dtype=np.int32)
@@ -198,6 +199,11 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1,
             lv_edge_dst_slot[lv_of_edge - 1, erank] = slot_of[edge[1][eidx]]
             lv_edge_valid[lv_of_edge - 1, erank] = True
             lv_edge_id[lv_of_edge - 1, erank] = eidx
+            # inverse of lv_edge_id over VALID edges: each edge sits in
+            # exactly one level slot, so the transpose of the upfront
+            # pack[lv_edge_id] gather is a plain (masked) gather by this
+            # table — no TPU scatter (models/dg_ae._level_scan_pallas)
+            edge_lv_row[eidx] = ((lv_of_edge - 1) * EP + erank).astype(np.int32)
     res.update(
         lv_nodes=lv_nodes,
         lv_node_valid=lv_node_valid,
@@ -205,6 +211,7 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1,
         lv_edge_dst_slot=lv_edge_dst_slot,
         lv_edge_valid=lv_edge_valid,
         lv_edge_id=lv_edge_id,
+        edge_lv_row=edge_lv_row,
         lv_start=lv_start,
     )
 
@@ -215,15 +222,15 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1,
     # edge list, so the sum becomes a batched one-hot matmul on the MXU
     # (see models/encoder.py). EBF/EBR = max per-block edge count, bucketed.
     nb = N // BLOCK_D
-    fa_src, fa_slot, fa_valid, ebf = _blocked_tables(
+    fa_src, fa_slot, fa_valid, fa_eid, ebf = _blocked_tables(
         by=edge[1] if e else np.zeros(0, np.int64),
         other=edge[0] if e else np.zeros(0, np.int64),
-        nb=nb, dims_key=dims.get("EBF"), dump=dump,
+        nb=nb, dims_key=dims.get("EBF"), dump=dump, eid_fill=E - 1,
     )
-    ra_src, ra_slot, ra_valid, ebr = _blocked_tables(
+    ra_src, ra_slot, ra_valid, ra_eid, ebr = _blocked_tables(
         by=edge[0] if e else np.zeros(0, np.int64),
         other=edge[1] if e else np.zeros(0, np.int64),
-        nb=nb, dims_key=dims.get("EBR"), dump=dump,
+        nb=nb, dims_key=dims.get("EBR"), dump=dump, eid_fill=E - 1,
     )
     deg_in = np.zeros(N, np.float32)
     deg_out = np.zeros(N, np.float32)
@@ -231,8 +238,8 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1,
         deg_in[: n] = np.bincount(edge[1], minlength=n)[:n]
         deg_out[: n] = np.bincount(edge[0], minlength=n)[:n]
     res.update(
-        fa_src=fa_src, fa_slot=fa_slot, fa_valid=fa_valid,
-        ra_src=ra_src, ra_slot=ra_slot, ra_valid=ra_valid,
+        fa_src=fa_src, fa_slot=fa_slot, fa_valid=fa_valid, fa_eid=fa_eid,
+        ra_src=ra_src, ra_slot=ra_slot, ra_valid=ra_valid, ra_eid=ra_eid,
         deg_in=deg_in, deg_out=deg_out,
     )
     if out is not None:  # no native lib: honor the in-place contract anyway
@@ -249,9 +256,11 @@ _FILL_KEYS = {  # batch key -> collate_fill_native key
     "lv_nodes": "lv_nodes", "lv_node_valid": "lv_node_valid",
     "lv_edge_src": "lv_edge_src", "lv_edge_dst_slot": "lv_edge_dst_slot",
     "lv_edge_valid": "lv_edge_valid", "lv_edge_id": "lv_edge_id",
+    "edge_lv_row": "edge_lv_row",
     "lv_start": "lv_start",
     "fa_src": "fa_src", "fa_slot": "fa_slot", "fa_valid": "fa_valid",
     "ra_src": "ra_src", "ra_slot": "ra_slot", "ra_valid": "ra_valid",
+    "fa_eid": "fa_eid", "ra_eid": "ra_eid",
     "deg_in": "deg_in", "deg_out": "deg_out",
 }
 
@@ -342,10 +351,12 @@ def _collate_native(gate, fwd, prob, graph_id, edge, tt_pairs, tt_dis,
     return res
 
 
-def _blocked_tables(by, other, nb, dims_key, dump):
+def _blocked_tables(by, other, nb, dims_key, dump, eid_fill=0):
     """Group edges by ``by``-node block of width BLOCK_D; returns padded
     [nb, Eb] tables: message-source node, local slot (by - block_start),
-    valid mask."""
+    valid mask, and the ORIGINAL edge index of each slot (the
+    gather-transpose table consumed by train/losses; padding slots point at
+    ``eid_fill``, the last padded edge)."""
     order = np.argsort(by, kind="stable")
     by_s, other_s = by[order], other[order]
     blk = (by_s // BLOCK_D).astype(np.int64)
@@ -356,13 +367,15 @@ def _blocked_tables(by, other, nb, dims_key, dump):
     src = np.full((nb, eb), dump, dtype=np.int32)
     slot = np.zeros((nb, eb), dtype=np.int32)
     valid = np.zeros((nb, eb), dtype=bool)
+    eid = np.full((nb, eb), eid_fill, dtype=np.int32)
     if len(blk):
         starts = np.concatenate([[0], np.cumsum(counts)])
         rank = np.arange(len(blk)) - starts[blk]
         src[blk, rank] = other_s
         slot[blk, rank] = by_s - blk * BLOCK_D
         valid[blk, rank] = True
-    return src, slot, valid, eb
+        eid[blk, rank] = order.astype(np.int32)
+    return src, slot, valid, eid, eb
 
 
 def _pad(a: np.ndarray, size: int, fill=0) -> np.ndarray:
@@ -398,16 +411,24 @@ _PAD_FILL = {  # fill values preserving batch invariants when extending dims
     "tt_pair_a": 0, "tt_pair_b": 0, "tt_valid": False, "tt_dis": 0.0,
     "lv_node_valid": False, "lv_edge_dst_slot": 0, "lv_edge_valid": False,
     "lv_upd": 0, "fa_slot": 0, "fa_valid": False, "ra_slot": 0, "ra_valid": False,
-    "deg_in": 0.0, "deg_out": 0.0,
+    "deg_in": 0.0, "deg_out": 0.0, "edge_lv_row": 0,
 }
 _PAD_DUMP = {"lv_nodes", "lv_edge_src", "fa_src", "ra_src"}  # point at dump node
-_PAD_LASTE = {"lv_edge_id"}  # point at last (padding) edge
+_PAD_LASTE = {"lv_edge_id", "fa_eid", "ra_eid"}  # point at last (padding) edge
 
 
 def _pad_batch_to(batch: dict, shapes: dict) -> dict:
     """Extend a collated batch's padded dims (fills keep masks false and
     indices on the dump slots) — cheaper than re-collating a shard."""
     dump = int(batch["n_nodes"])
+    # edge_lv_row flattens (level, rank) with the OLD EP stride: remap it
+    # whenever the EP dim grows (values for padding edges stay 0 — their
+    # cotangent is masked anyway)
+    ep_old = batch["lv_edge_src"].shape[-1]
+    ep_new = shapes.get("lv_edge_src", (0, ep_old))[-1]
+    if "edge_lv_row" in batch and ep_new != ep_old:
+        r = batch["edge_lv_row"]
+        batch = dict(batch, edge_lv_row=((r // ep_old) * ep_new + r % ep_old).astype(r.dtype))
     out = {}
     for k, v in batch.items():
         tgt = shapes.get(k)
@@ -487,11 +508,13 @@ def stacked_batch_buffers(dp: int, dims: dict) -> dict:
         "lv_edge_src": a((L, EP), np.int32),
         "lv_edge_dst_slot": a((L, EP), np.int32),
         "lv_edge_valid": a((L, EP), bool), "lv_edge_id": a((L, EP), np.int32),
+        "edge_lv_row": a((E,), np.int32),
         "lv_start": a((L,), np.int32),
         "fa_src": a((nb, EBF), np.int32), "fa_slot": a((nb, EBF), np.int32),
         "fa_valid": a((nb, EBF), bool),
         "ra_src": a((nb, EBR), np.int32), "ra_slot": a((nb, EBR), np.int32),
         "ra_valid": a((nb, EBR), bool),
+        "fa_eid": a((nb, EBF), np.int32), "ra_eid": a((nb, EBR), np.int32),
         "deg_in": a((N,), np.float32), "deg_out": a((N,), np.float32),
     }
 
@@ -796,6 +819,9 @@ def collate_chunked(graphs: list[CircuitGraph], num_chunks: int,
         "ra_src": cat_off("ra_src", N_sub),
         "ra_slot": cat("ra_slot"),
         "ra_valid": cat("ra_valid"),
+        # gather-transpose tables: values are EDGE ids -> offset by E_sub
+        "fa_eid": cat_off("fa_eid", E_sub),
+        "ra_eid": cat_off("ra_eid", E_sub),
         # level tables: leading [C, L], node ids LOCAL, edge ids GLOBAL
         "lv_nodes": stk("lv_nodes"),
         "lv_node_valid": stk("lv_node_valid"),
@@ -803,6 +829,12 @@ def collate_chunked(graphs: list[CircuitGraph], num_chunks: int,
         "lv_edge_dst_slot": stk("lv_edge_dst_slot"),
         "lv_edge_valid": stk("lv_edge_valid"),
         "lv_edge_id": np.stack([b["lv_edge_id"] + k * E_sub for k, b in enumerate(batches)]),
+        # flat (chunk, level, rank) slot of each edge: offset by the chunk's
+        # level-table size (the stacked [C, L, EP] tables flatten that way)
+        "edge_lv_row": cat_off(
+            "edge_lv_row",
+            batches[0]["lv_edge_src"].shape[0] * batches[0]["lv_edge_src"].shape[1],
+        ),
         "lv_start": stk("lv_start"),
         "n_nodes": np.int32(sum(int(b["n_nodes"]) for b in batches)),
         "n_edges": np.int32(sum(int(b["n_edges"]) for b in batches)),

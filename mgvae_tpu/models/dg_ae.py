@@ -341,12 +341,29 @@ def _level_statics(params, batch, cfg: DGConfig, hs, expert):
     q = _select_expert(q_all, e_node, T) + ex["bq"][e_node]
     aq_n = jnp.sum(q * ex["wa_q"][e_node], axis=-1) + ex["ba"][e_node]  # [N]
     # --- per-edge hs-side key/value --------------------------------------
+    # node->edge gathers ride explicit one-hot transposes when the batch
+    # carries the eid tables: their autodiff adjoints are serializing TPU
+    # scatters over E rows otherwise (padding-edge cotangents are zero —
+    # every consumer masks invalid edges — so the valid-only tables are the
+    # exact adjoint; see models/encoder.gather_rows_t)
     wkv_hs = jnp.concatenate([ex["wk"][:D, :], ex["wv"][:D, :]], axis=1)  # [D, 2TD]
-    kv_hs = hs[edge_src] @ wkv_hs                           # [E, 2TD]
+    if "ra_eid" in batch:
+        from .encoder import gather_rows_t
+
+        hs_e = gather_rows_t(
+            hs, edge_src, (batch["ra_eid"], batch["ra_slot"], batch["ra_valid"])
+        )
+        aq_e = gather_rows_t(
+            aq_n[:, None], edge_dst,
+            (batch["fa_eid"], batch["fa_slot"], batch["fa_valid"]),
+        )[:, 0]
+    else:
+        hs_e, aq_e = hs[edge_src], aq_n[edge_dst]
+    kv_hs = hs_e @ wkv_hs                                   # [E, 2TD]
     khs = _select_expert(kv_hs[:, : T * D], e_dst_full, T) + ex["bk"][e_dst_full]
     vhs = _select_expert(kv_hs[:, T * D :], e_dst_full, T) + ex["bv"][e_dst_full]
     score_static = (
-        jnp.sum(khs * ex["wa_k"][e_dst_full], axis=-1) + aq_n[edge_dst]
+        jnp.sum(khs * ex["wa_k"][e_dst_full], axis=-1) + aq_e
     )                                                       # [E]
     # packed per-edge statics: [vhs | score | expert] -> ONE gather per level
     pack = jnp.concatenate(
@@ -354,6 +371,30 @@ def _level_statics(params, batch, cfg: DGConfig, hs, expert):
     )                                                       # [E, D+2]
     wkv_hf = jnp.concatenate([ex["wk"][D:, :], ex["wv"][D:, :]], axis=1)  # [D, 2TD]
     return pack, wkv_hf
+
+
+def _pack_lv_gather(pack, batch, tabs):
+    """pack[lv_edge_id] ([C*L, Ep, W]) with an explicit transpose: every
+    valid edge fills exactly ONE level slot, so the adjoint of this gather
+    is a plain masked gather by the inverse (edge -> flat slot) table
+    (data/batching edge_lv_row) — not a C*L*Ep-row TPU scatter. Padding
+    slots' cotangents are zero (the level math masks them), so pointing
+    padding edges at slot 0 under the edge_valid mask is exact."""
+    lv_id = tabs["lv_edge_id"]
+    if "edge_lv_row" not in batch:
+        return pack[lv_id]
+    from jax.custom_derivatives import linear_call
+
+    lv_row = batch["edge_lv_row"]
+    evm = batch["edge_valid"][:, None].astype(pack.dtype)
+
+    def f(_, p):
+        return p[lv_id]
+
+    def ft(_, cot):
+        return cot.reshape(-1, cot.shape[-1])[lv_row] * evm
+
+    return linear_call(f, ft, None, pack)
 
 
 def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
@@ -383,7 +424,7 @@ def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
         nodes = lv["nodes"] + lv["off"]                     # [Np] global ids
         np_ = nodes.shape[0]
 
-        pk = pack[lv["edge_id"]]                            # [Ep, D+2]
+        pk = lv["pack"]                                     # [Ep, D+2]
         e_edge = pk[:, -1].astype(jnp.int32)
         hf_src = hf[src]                                    # [Ep, D]
         kv_hf = hf_src @ wkv_hf                             # [Ep, 2TD]
@@ -429,7 +470,9 @@ def _level_scan_fast(params, batch, cfg: DGConfig, hs, expert):
         "edge_src": tabs["lv_edge_src"],
         "edge_dst_slot": tabs["lv_edge_dst_slot"],
         "edge_valid": tabs["lv_edge_valid"],
-        "edge_id": tabs["lv_edge_id"],
+        # pack gathered UPFRONT (transpose = inverse-table gather, no
+        # per-level scatter in the backward scan; _pack_lv_gather)
+        "pack": _pack_lv_gather(pack, batch, tabs),
         "off": lv_off,
     }
     hf = jnp.zeros_like(hs)
@@ -461,7 +504,7 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
     pack = jnp.pad(pack, ((0, 0), (0, pw - pack.shape[1])))
     tabs, lv_off, C = _lv_views(batch)
     n_sub = hs.shape[0] // C
-    pack_lv = pack[tabs["lv_edge_id"]]                      # [C*L, Ep, PW]
+    pack_lv = _pack_lv_gather(pack, batch, tabs)            # [C*L, Ep, PW]
     lv_nodes = tabs["lv_nodes"]                             # chunk-LOCAL ids
     nodes_glob = lv_nodes + lv_off[:, None]
     lv_upd = (tabs["lv_node_valid"] & (expert[nodes_glob] >= 0)).astype(jnp.int32)
@@ -480,14 +523,18 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
         ex["b_hh"],
         ex["wa_k"],
     )
+    # matmul precision is threaded EXPLICITLY: the custom-VJP backward is
+    # traced outside forward()'s default_matmul_precision context, so the
+    # ambient setting would silently not reach the backward kernels
+    prec = cfg.matmul_precision
     if kernel_fits(n_sub, pack_lv.shape[1], lv_nodes.shape[1], D):
         # VMEM-resident variant, differentiable (hand-written VJP)
-        return pallas_level_scan(*args, n_sub, D, T, C, interpret)
+        return pallas_level_scan(*args, n_sub, D, T, C, interpret, prec)
     if C == 1 and pack.dtype == jnp.float32:
         # giant single-graph batch: hf streamed through HBM, differentiable
         # (the backward streams hf + the ghf cotangent chunkwise too);
         # f32 only (DMA tiling assumes f32 lanes)
-        return pallas_level_scan_hbm(*args, n_sub, D, T, interpret)
+        return pallas_level_scan_hbm(*args, n_sub, D, T, interpret, prec)
     # chunked but a chunk still exceeds VMEM: XLA scan fallback
     return _level_scan_fast(params, batch, cfg, hs, expert)
 

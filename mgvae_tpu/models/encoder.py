@@ -83,6 +83,28 @@ def _blocked_neighbor_sum_t(state, fwd_tbls, rev_tbls):
     return linear_call(f, ft, (fwd_tbls, rev_tbls), state)
 
 
+def gather_rows_t(x, idx, tbls):
+    """x[idx] with an explicit MXU transpose: the adjoint of a row gather is
+    a scatter-add, which serializes on TPU. ``tbls`` = (eid, slot, valid)
+    blocked-CSR tables grouping the GATHER SLOTS by target node
+    (data/batching fa_eid/ra_eid): the scatter becomes the same batched
+    one-hot einsum the neighbor sums ride. Correctness caveat: the tables
+    cover only VALID slots, so cotangents of padding rows are dropped —
+    callers must guarantee those cotangents are zero (every use masks
+    invalid entries before consuming the gather's output)."""
+    from jax.custom_derivatives import linear_call
+
+    n = x.shape[0]
+
+    def f(_, xx):
+        return xx[idx]
+
+    def ft(_, cot):
+        return blocked_neighbor_sum(cot, *tbls)[:n]
+
+    return linear_call(f, ft, None, x)
+
+
 def _neighbor_sum(state, batch, reverse: bool):
     n = state.shape[0]
     if "fa_src" in batch and "ra_src" in batch:

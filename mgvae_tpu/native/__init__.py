@@ -100,6 +100,7 @@ def _bind(lib):
         i32p, i32p, u8p,
         i32p, i32p, u8p,
         f32p, f32p,
+        i32p, i32p, i32p,
     ]
     lib.mg_group_stats.restype = ctypes.c_int32
     lib.mg_group_stats.argtypes = [
@@ -116,7 +117,8 @@ def _bind(lib):
            i32p, i32p, u8p, f32p,
            i32p, u8p, i32p, i32p, u8p, i32p, i32p,
            i32p, i32p, u8p, i32p, i32p, u8p,
-           f32p, f32p, i32p, i32p, i32p]
+           f32p, f32p, i32p, i32p, i32p,
+           i32p, i32p, i32p]
     )
 
 
@@ -184,6 +186,7 @@ def collate_fill_native(fwd, esrc, edst, dims: dict, block: int, dump: int,
             "lv_edge_dst_slot": np.zeros((L, EP), dtype=np.int32),
             "lv_edge_valid": np.zeros((L, EP), dtype=bool),
             "lv_edge_id": np.full((L, EP), E - 1, dtype=np.int32),
+            "edge_lv_row": np.zeros(E, dtype=np.int32),
             "lv_start": np.full(L, n, dtype=np.int32),
             "fa_src": np.full((nb, EBF), dump, dtype=np.int32),
             "fa_slot": np.zeros((nb, EBF), dtype=np.int32),
@@ -191,6 +194,8 @@ def collate_fill_native(fwd, esrc, edst, dims: dict, block: int, dump: int,
             "ra_src": np.full((nb, EBR), dump, dtype=np.int32),
             "ra_slot": np.zeros((nb, EBR), dtype=np.int32),
             "ra_valid": np.zeros((nb, EBR), dtype=bool),
+            "fa_eid": np.full((nb, EBF), E - 1, dtype=np.int32),
+            "ra_eid": np.full((nb, EBR), E - 1, dtype=np.int32),
             "deg_in": np.zeros(N, dtype=np.float32),
             "deg_out": np.zeros(N, dtype=np.float32),
         }
@@ -201,11 +206,12 @@ def collate_fill_native(fwd, esrc, edst, dims: dict, block: int, dump: int,
         o["inv"][:] = o["perm"]
         for k in ("edge_src", "edge_dst", "lv_node_valid", "lv_edge_dst_slot",
                   "lv_edge_valid", "fa_slot", "fa_valid", "ra_slot",
-                  "ra_valid", "deg_in", "deg_out"):
+                  "ra_valid", "deg_in", "deg_out", "edge_lv_row"):
             o[k].fill(0)
         for k in ("lv_nodes", "lv_edge_src", "fa_src", "ra_src"):
             o[k].fill(dump)
-        o["lv_edge_id"].fill(E - 1)
+        for k in ("lv_edge_id", "fa_eid", "ra_eid"):
+            o[k].fill(E - 1)
         o["lv_start"].fill(n)
     # bool arrays are byte-sized: pass them to C++ as uint8 views
     u8 = lambda k: _u8p(o[k].view(np.uint8))
@@ -221,6 +227,7 @@ def collate_fill_native(fwd, esrc, edst, dims: dict, block: int, dump: int,
         _i32p(o["fa_src"]), _i32p(o["fa_slot"]), u8("fa_valid"),
         _i32p(o["ra_src"]), _i32p(o["ra_slot"]), u8("ra_valid"),
         _f32p(o["deg_in"]), _f32p(o["deg_out"]),
+        _i32p(o["fa_eid"]), _i32p(o["ra_eid"]), _i32p(o["edge_lv_row"]),
     )
     if r != 0:
         raise AssertionError(f"mg_collate_fill failed: {r} (dims too small?)")
@@ -288,6 +295,7 @@ def collate_step_native(shard_graphs, graph_nodes, graph_edges, graph_tt,
         _i32p(big["ra_src"]), _i32p(big["ra_slot"]), u8("ra_valid"),
         _f32p(big["deg_in"]), _f32p(big["deg_out"]),
         _i32p(big["n_nodes"]), _i32p(big["n_edges"]), _i32p(big["n_tt"]),
+        _i32p(big["fa_eid"]), _i32p(big["ra_eid"]), _i32p(big["edge_lv_row"]),
     )
     if r != 0:
         raise AssertionError(f"mg_collate_step failed: {r} (dims too small?)")

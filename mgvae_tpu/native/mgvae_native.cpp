@@ -249,7 +249,8 @@ int32_t mg_collate_fill(
     int32_t* lv_start,
     int32_t* fa_src, int32_t* fa_slot, uint8_t* fa_valid,
     int32_t* ra_src, int32_t* ra_slot, uint8_t* ra_valid,
-    float* deg_in, float* deg_out) {
+    float* deg_in, float* deg_out,
+    int32_t* fa_eid, int32_t* ra_eid, int32_t* e_lv_row) {
   int32_t lv_real = 0;
   for (int64_t v = 0; v < n; ++v)
     if (fwd[v] > lv_real) lv_real = fwd[v];
@@ -297,12 +298,15 @@ int32_t mg_collate_fill(
       lv_e_slot[row] = slot_of[nd];
       lv_e_valid[row] = 1;
       lv_e_id[row] = (int32_t)i;
+      e_lv_row[i] = (int32_t)row;
     }
   }
   // blocked-CSR tables: stable by (by-node id, edge order). First bucket
   // edges per by-node (counting sort over node ids), then emit in id order.
+  // o_eid records WHICH edge fills each slot — the gather-transpose tables
+  // (train/losses.py scatters per-edge cotangents back to nodes via these).
   auto blocked = [&](const bool by_dst, int32_t* o_src, int32_t* o_slot,
-                     uint8_t* o_valid, int64_t EB) -> int32_t {
+                     uint8_t* o_valid, int32_t* o_eid, int64_t EB) -> int32_t {
     std::vector<int64_t> ncnt(n + 1, 0);
     for (int64_t i = 0; i < e; ++i)
       ncnt[by_dst ? inv[edst[i]] : inv[esrc[i]]]++;
@@ -326,12 +330,13 @@ int32_t mg_collate_fill(
       o_src[row] = other;
       o_slot[row] = by % (int32_t)block;
       o_valid[row] = 1;
+      o_eid[row] = (int32_t)i;
     }
     return 0;
   };
-  int32_t r = blocked(true, fa_src, fa_slot, fa_valid, EBF);
+  int32_t r = blocked(true, fa_src, fa_slot, fa_valid, fa_eid, EBF);
   if (r) return r;
-  return blocked(false, ra_src, ra_slot, ra_valid, EBR);
+  return blocked(false, ra_src, ra_slot, ra_valid, ra_eid, EBR);
 }
 
 }  // extern "C"
@@ -378,6 +383,7 @@ struct StepOut {
   uint8_t* ra_valid;
   float *deg_in, *deg_out;
   int32_t *n_nodes, *n_edges, *n_tt;  // [dp] scalars
+  int32_t *fa_eid, *ra_eid, *e_lv_row;
 };
 
 template <typename T>
@@ -426,6 +432,9 @@ static int32_t collate_one_shard(
   int32_t* ra_src = o.ra_src + d * nb * EBR;
   int32_t* ra_slot = o.ra_slot + d * nb * EBR;
   uint8_t* ra_valid = o.ra_valid + d * nb * EBR;
+  int32_t* fa_eid = o.fa_eid + d * nb * EBF;
+  int32_t* ra_eid = o.ra_eid + d * nb * EBR;
+  int32_t* e_lv_row = o.e_lv_row + d * E;
   float* deg_in = o.deg_in + d * N;
   float* deg_out = o.deg_out + d * N;
 
@@ -455,6 +464,9 @@ static int32_t collate_one_shard(
   fill_arr(ra_src, nb * EBR, dump);
   memset(ra_slot, 0, nb * EBR * sizeof(int32_t));
   memset(ra_valid, 0, nb * EBR);
+  fill_arr(fa_eid, nb * EBF, (int32_t)(E - 1));
+  fill_arr(ra_eid, nb * EBR, (int32_t)(E - 1));
+  memset(e_lv_row, 0, E * sizeof(int32_t));
   memset(deg_in, 0, N * sizeof(float));
   memset(deg_out, 0, N * sizeof(float));
   memset(e_src, 0, E * sizeof(int32_t));
@@ -572,10 +584,11 @@ static int32_t collate_one_shard(
       lv_e_slot[row] = slot_of[nd];
       lv_e_valid[row] = 1;
       lv_e_id[row] = (int32_t)i;
+      e_lv_row[i] = (int32_t)row;
     }
   }
   auto blocked = [&](const bool by_dst, int32_t* o_src, int32_t* o_slot,
-                     uint8_t* o_valid, int64_t EB) -> int32_t {
+                     uint8_t* o_valid, int32_t* o_eid, int64_t EB) -> int32_t {
     std::vector<int64_t> ncnt(n + 1, 0);
     for (int64_t i = 0; i < e; ++i)
       ncnt[by_dst ? inv[ed[i]] : inv[es[i]]]++;
@@ -599,12 +612,13 @@ static int32_t collate_one_shard(
       o_src[row] = other;
       o_slot[row] = by % (int32_t)block;
       o_valid[row] = 1;
+      o_eid[row] = (int32_t)i;
     }
     return 0;
   };
-  int32_t r = blocked(true, fa_src, fa_slot, fa_valid, EBF);
+  int32_t r = blocked(true, fa_src, fa_slot, fa_valid, fa_eid, EBF);
   if (r) return r;
-  return blocked(false, ra_src, ra_slot, ra_valid, EBR);
+  return blocked(false, ra_src, ra_slot, ra_valid, ra_eid, EBR);
 }
 
 }  // namespace
@@ -727,7 +741,8 @@ int32_t mg_collate_step(
     int32_t* fa_src, int32_t* fa_slot, uint8_t* fa_valid,
     int32_t* ra_src, int32_t* ra_slot, uint8_t* ra_valid,
     float* deg_in, float* deg_out,
-    int32_t* n_nodes, int32_t* n_edges, int32_t* n_tt) {
+    int32_t* n_nodes, int32_t* n_edges, int32_t* n_tt,
+    int32_t* fa_eid, int32_t* ra_eid, int32_t* e_lv_row) {
   int64_t total_graphs = 0;
   for (int64_t d = 0; d < dp; ++d) total_graphs += shard_graphs[d];
   // prefix offsets of every graph's node/edge/tt spans
@@ -744,7 +759,7 @@ int32_t mg_collate_step(
             lv_nodes, lv_node_valid, lv_e_src, lv_e_slot, lv_e_id,
             lv_e_valid, lv_start, fa_src, fa_slot, fa_valid,
             ra_src, ra_slot, ra_valid, deg_in, deg_out,
-            n_nodes, n_edges, n_tt};
+            n_nodes, n_edges, n_tt, fa_eid, ra_eid, e_lv_row};
   std::vector<int64_t> g_start(dp + 1, 0);
   for (int64_t d = 0; d < dp; ++d) g_start[d + 1] = g_start[d] + shard_graphs[d];
   std::vector<int32_t> rc(dp, 0);

@@ -23,10 +23,14 @@ Design choices (TPU-specific):
     1e-16 normalizer), scores masked before exp so padding can't overflow.
 
 Training support: ``pallas_level_scan`` wraps forward + a hand-written
-backward kernel in jax.custom_vjp. The backward needs NO saved activations
-beyond the final hf — every node is written exactly once at its own level,
-so the final hf already contains each level's exact forward inputs and the
-reverse-level sweep recomputes attention/GRU intermediates in-kernel.
+backward kernel in jax.custom_vjp. The forward streams each level's cheap
+intermediates (hf_src, khf, v, attn, msg, GRU gates — ~1 MB/level at
+D=64, row-blocked to HBM) out as residuals; the reverse-level sweep reads
+them back instead of recomputing the per-level attention/GRU forward from
+the final hf. That removes the whole prefix one-hot gather loop and four
+matmuls from every backward grid step — the recompute was ~40% of the
+backward, which is the largest single device cost of a train step
+(reference hot path: DG_VAE/deepgate/dg_ae_model_mig.py:85-129).
 """
 from __future__ import annotations
 
@@ -50,6 +54,16 @@ def _pick_chunk(ep: int, n: int, budget: int = _CHUNK_BYTES) -> int:
 
 # contract dim 0 of lhs with dim 0 of rhs: A^T @ B without a transpose op
 _DN_T = (((0,), (0,)), ((), ()))
+
+
+def _prec_ctx(precision: str | None):
+    """default_matmul_precision(precision), or a no-op that preserves any
+    ambient context when the caller didn't specify one."""
+    import contextlib
+
+    if precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(precision)
 
 
 # VMEM gate for the resident variant — the single source of truth
@@ -93,8 +107,14 @@ def fused_level_scan(
     num_experts: int,
     num_chunks: int = 1,
     interpret: bool = False,
+    with_residuals: bool = False,
+    precision: str | None = None,
 ):
-    """Returns hf [num_chunks * num_nodes, dim] f32.
+    """Returns hf [num_chunks * num_nodes, dim] f32 — or, with
+    ``with_residuals``, (hf, res_e [CL, Ep, EW], res_n [CL, Np, NW]) where
+    res_e packs [hf_src | khf | v | attn] and res_n packs [msg | r | z | nw]
+    per level (lane-padded widths). The residuals feed the backward kernel,
+    which then needs no forward recompute.
 
     Chunked batches (data/batching.collate_chunked): the grid is (C*L,) and
     the hf output block advances per chunk (index i // L) while staying
@@ -127,26 +147,45 @@ def fused_level_scan(
     # (marginal win; the per-level floor is the level's own VPU math)
     LPS = 2 if L % 2 == 0 else 1
     n_chunk = _pick_chunk(Ep, N)
+    EW = _round_up(3 * D + 1, LANE)   # residual widths (lane-padded)
+    NW = _round_up(4 * D, LANE)
     kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np,
-                               n_chunk=n_chunk, L=L, LPS=LPS)
+                               n_chunk=n_chunk, L=L, LPS=LPS, EW=EW, NW=NW)
     row_spec = lambda blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(CL // LPS,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # lv_start [C*L]
-            row_spec((LPS, Ep, PW)),
-            row_spec((LPS, Ep, 4)),
-            row_spec((LPS, Np, 4)),
-            full, full, full, full, full,
-        ],
-        out_specs=pl.BlockSpec((N, D), lambda i: (i // (L // LPS), 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C * N, D), pack_lv.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(lv_start, pack_lv, edge_tbl, node_tbl,
-      wkv_hf, w_ih, b_ih, b_hh, wa_k)
+    hf_spec = pl.BlockSpec((N, D), lambda i: (i // (L // LPS), 0), memory_space=pltpu.VMEM)
+    hf_shape = jax.ShapeDtypeStruct((C * N, D), pack_lv.dtype)
+    if with_residuals:
+        out_specs = (hf_spec, row_spec((LPS, Ep, EW)), row_spec((LPS, Np, NW)))
+        out_shape = (
+            hf_shape,
+            jax.ShapeDtypeStruct((CL, Ep, EW), pack_lv.dtype),
+            jax.ShapeDtypeStruct((CL, Np, NW), pack_lv.dtype),
+        )
+    else:
+        out_specs, out_shape = hf_spec, hf_shape
+    # matmul precision must be applied at KERNEL-TRACE time: the custom-VJP
+    # backward is traced outside the model's default_matmul_precision
+    # context, so the caller threads cfg.matmul_precision through explicitly
+    # (same for the backward below — without this, parity-mode training got
+    # default-precision MXU passes in the backward only)
+    with _prec_ctx(precision):
+        return pl.pallas_call(
+            kernel,
+            grid=(CL // LPS,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),     # lv_start [C*L]
+                row_spec((LPS, Ep, PW)),
+                row_spec((LPS, Ep, 4)),
+                row_spec((LPS, Np, 4)),
+                full, full, full, full, full,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(lv_start, pack_lv, edge_tbl, node_tbl,
+          wkv_hf, w_ih, b_ih, b_hh, wa_k)
 
 
 def _select(stacked, expert_onehots, T, width):
@@ -161,8 +200,8 @@ def _select(stacked, expert_onehots, T, width):
 def _level_kernel(
     start_ref, pack_ref, edge_tbl_ref, node_tbl_ref,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
-    hf_ref,
-    *, N, D, T, Ep, Np, n_chunk, L, LPS,
+    hf_ref, res_e_ref=None, res_n_ref=None,
+    *, N, D, T, Ep, Np, n_chunk, L, LPS, EW, NW,
 ):
     i = pl.program_id(0)
 
@@ -177,6 +216,7 @@ def _level_kernel(
             start_ref[i * LPS + j], pack_ref[j], edge_tbl_ref[j], node_tbl_ref[j],
             wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
             N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk,
+            res_e_ref=res_e_ref, res_n_ref=res_n_ref, j=j, EW=EW, NW=NW,
         )
 
 
@@ -184,6 +224,7 @@ def _level_body(
     start, pack, etbl, ntbl,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
     *, N, D, T, Ep, Np, n_chunk,
+    res_e_ref=None, res_n_ref=None, j=0, EW=0, NW=0,
 ):
     # dtype discipline: vdt is the VALUE dtype (f32, or bf16 in throughput
     # mode — hf storage + matmul operands); accumulation and the
@@ -268,6 +309,21 @@ def _level_body(
     upd = upd_b.astype(f32)
     h_new = (1.0 - z) * nw * upd
 
+    # ---- stream residuals to HBM for the backward (training path) --------
+    # packs every intermediate whose recompute in the reverse sweep would
+    # cost a matmul or the prefix gather loop; the write is one row-blocked
+    # VMEM->HBM copy per level (~1 MB at D=64 bucketed dims)
+    if res_e_ref is not None:
+        parts_e = [hf_src.astype(vdt), khf.astype(vdt), v.astype(vdt),
+                   attn.astype(vdt)]
+        if EW > 3 * D + 1:  # Mosaic rejects zero-size vectors
+            parts_e.append(jnp.zeros((Ep, EW - 3 * D - 1), vdt))
+        res_e_ref[j] = jnp.concatenate(parts_e, axis=1)
+        parts_n = [msg.astype(vdt), r.astype(vdt), z.astype(vdt), nw.astype(vdt)]
+        if NW > 4 * D:
+            parts_n.append(jnp.zeros((Np, NW - 4 * D), vdt))
+        res_n_ref[j] = jnp.concatenate(parts_n, axis=1)
+
     # ---- scatter-add back into hf (rows are fresh: previously zero) -------
     # this level's nodes are contiguous in [start, start+Np): only chunks
     # overlapping that range need the one-hot matmul
@@ -291,17 +347,20 @@ def _level_body(
 # ===========================================================================
 
 def fused_level_scan_bwd(
-    ghf_in, hf_final,
+    ghf_in, res_e, res_n,
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
-    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    wkv_hf, w_ih, b_hh, wa_k,
     *, num_nodes: int, dim: int, num_experts: int, num_chunks: int = 1,
-    interpret: bool = False,
+    interpret: bool = False, precision: str | None = None,
 ):
-    """Reverse-level sweep. Returns (d_pack_lv, d_wkv, d_wih, d_bih, d_bhh,
-    d_wak). Grid step i processes chunk i//L's level L-1-(i%L); ghf (the hf
-    cotangent) is a per-chunk VMEM block seeded from ghf_in's matching block
-    and fed upstream via per-source scatter-adds. Weight grads accumulate in
-    constant-index VMEM blocks across the whole grid."""
+    """Reverse-level sweep over SAVED forward residuals (res_e/res_n from
+    ``fused_level_scan(with_residuals=True)``). Returns (d_pack_lv, d_wkv,
+    d_wih, d_bih, d_bhh, d_wak). Grid step i processes chunk i//L's level
+    L-1-(i%L); ghf (the hf cotangent) is a per-chunk VMEM block seeded from
+    ghf_in's matching block and fed upstream via per-source scatter-adds.
+    Weight grads accumulate in constant-index VMEM blocks across the whole
+    grid. With the residuals in hand there is NO forward recompute here —
+    no prefix gather loop, no kv/msg/gi matmuls — only the backward math."""
     CL, Ep, PW = pack_lv.shape
     Np = lv_nodes.shape[1]
     D, T = dim, num_experts
@@ -309,8 +368,9 @@ def fused_level_scan_bwd(
     C = num_chunks
     L = CL // C
     assert L * C == CL
+    EW, NW = res_e.shape[2], res_n.shape[2]
 
-    # packed index tables: 3 row-blocked fetches per grid step instead of 7
+    # packed index tables: row-blocked fetches per grid step
     edge_tbl = jnp.stack([lv_src, lv_dslot, lv_evalid, lv_evalid], axis=-1)  # [CL, Ep, 4]
     node_tbl = jnp.stack([lv_nodes, lv_upd, lv_e_n, lv_e_n], axis=-1)        # [CL, Np, 4]
     raw_start = jnp.min(jnp.where(lv_upd > 0, lv_nodes, N), axis=1)
@@ -319,7 +379,7 @@ def fused_level_scan_bwd(
     # gather the WHOLE chunk for nothing)
     lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
 
-    # the backward holds hf + ghf blocks plus larger intermediates; halve the
+    # the backward holds ghf blocks plus larger intermediates; halve the
     # one-hot chunk budget to stay inside scoped VMEM at kernel_fits dims
     n_chunk = _pick_chunk(Ep, N, budget=_CHUNK_BYTES // 2)
     kernel = functools.partial(_level_bwd_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk, L=L)
@@ -332,51 +392,53 @@ def fused_level_scan_bwd(
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     vdt = pack_lv.dtype   # value dtype (bf16 in throughput mode)
     f32 = jnp.float32     # weight-grad accumulators stay f32 across levels
-    out = pl.pallas_call(
-        kernel,
-        grid=(CL,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [C*L]
-            blkN(),               # ghf_in (per-chunk block)
-            blkN(),               # hf_final (per-chunk block)
-            rev((1, Ep, PW)),     # pack
-            rev((1, Ep, 4)),      # edge_tbl
-            rev((1, Np, 4)),      # node_tbl
-            full, full, full, full, full,
-        ],
-        out_specs=(
-            rev((1, Ep, PW)),                      # d_pack
-            acc((D, 2 * T * D)),                   # d_wkv
-            acc((D, 3 * T * D)),                   # d_wih
-            acc((T, 3 * D)),                       # d_bih
-            acc((T, 3 * D)),                       # d_bhh
-            acc((T, D)),                           # d_wak
-            blkN(),                                # ghf (residual, unused)
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((CL, Ep, PW), vdt),
-            jax.ShapeDtypeStruct((D, 2 * T * D), f32),
-            jax.ShapeDtypeStruct((D, 3 * T * D), f32),
-            jax.ShapeDtypeStruct((T, 3 * D), f32),
-            jax.ShapeDtypeStruct((T, 3 * D), f32),
-            jax.ShapeDtypeStruct((T, D), f32),
-            jax.ShapeDtypeStruct((C * N, D), vdt),
-        ),
-        # ghf_in is consumed exactly once (the seed of each chunk's ghf
-        # block): alias it onto the ghf residual output to drop one
-        # [N_sub, D] VMEM block
-        input_output_aliases={1: 6},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(lv_start, ghf_in, hf_final, pack_lv, edge_tbl, node_tbl,
-      wkv_hf, w_ih, b_ih, b_hh, wa_k)
+    with _prec_ctx(precision):
+        out = pl.pallas_call(
+            kernel,
+            grid=(CL,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [C*L]
+                blkN(),               # ghf_in (per-chunk block)
+                rev((1, Ep, EW)),     # res_e [hf_src | khf | v | attn]
+                rev((1, Np, NW)),     # res_n [msg | r | z | nw]
+                rev((1, Ep, PW)),     # pack (e_edge column only)
+                rev((1, Ep, 4)),      # edge_tbl
+                rev((1, Np, 4)),      # node_tbl
+                full, full, full, full,
+            ],
+            out_specs=(
+                rev((1, Ep, PW)),                      # d_pack
+                acc((D, 2 * T * D)),                   # d_wkv
+                acc((D, 3 * T * D)),                   # d_wih
+                acc((T, 3 * D)),                       # d_bih
+                acc((T, 3 * D)),                       # d_bhh
+                acc((T, D)),                           # d_wak
+                blkN(),                                # ghf (residual, unused)
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((CL, Ep, PW), vdt),
+                jax.ShapeDtypeStruct((D, 2 * T * D), f32),
+                jax.ShapeDtypeStruct((D, 3 * T * D), f32),
+                jax.ShapeDtypeStruct((T, 3 * D), f32),
+                jax.ShapeDtypeStruct((T, 3 * D), f32),
+                jax.ShapeDtypeStruct((T, D), f32),
+                jax.ShapeDtypeStruct((C * N, D), vdt),
+            ),
+            # ghf_in is consumed exactly once (the seed of each chunk's ghf
+            # block): alias it onto the ghf residual output to drop one
+            # [N_sub, D] VMEM block
+            input_output_aliases={1: 6},
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(lv_start, ghf_in, res_e, res_n, pack_lv, edge_tbl, node_tbl,
+          wkv_hf, w_ih, b_hh, wa_k)
     return out[:6]
 
 
 def _level_bwd_kernel(
-    start_ref, ghf_in_ref, hf_ref,
+    start_ref, ghf_in_ref, res_e_ref, res_n_ref,
     pack_ref, edge_tbl_ref, node_tbl_ref,
-    wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
+    wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
     dpack_ref, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref, ghf_ref,
     *, N, D, T, Ep, Np, n_chunk, L,
 ):
@@ -399,8 +461,6 @@ def _level_bwd_kernel(
     vdt = pack_ref.dtype
     f32 = jnp.float32
     pack = pack_ref[0]
-    vhs = pack[:, :D].astype(f32)
-    score_static = pack[:, D : D + 1].astype(f32)
     e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)
     etbl = edge_tbl_ref[0]                    # [Ep, 4]
     src = etbl[:, 0:1]
@@ -412,56 +472,31 @@ def _level_bwd_kernel(
     upd = (ntbl[:, 1:2] > 0).astype(f32)
     e_n = ntbl[:, 2:3]
 
-    # ---------- recompute forward intermediates from final hf -------------
-    def body_gather(acc_ref):
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        for c in range(0, N, n_chunk):
-            ch = min(n_chunk, N - c)
+    # ---------- saved forward intermediates (no recompute) -----------------
+    rese = res_e_ref[0]
+    hf_src = rese[:, :D].astype(f32)
+    khf = rese[:, D : 2 * D].astype(f32)
+    v = rese[:, 2 * D : 3 * D].astype(f32)
+    attn = rese[:, 3 * D : 3 * D + 1].astype(f32)
+    resn = res_n_ref[0]
+    msg = resn[:, :D].astype(f32)
+    r = resn[:, D : 2 * D].astype(f32)
+    z = resn[:, 2 * D : 3 * D].astype(f32)
+    nw = resn[:, 3 * D : 4 * D].astype(f32)
 
-            @pl.when(c < start)
-            def _():
-                cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
-                onehot = (src == cols).astype(vdt)
-                acc_ref[:] += jnp.dot(onehot, hf_ref[pl.ds(c, ch), :], preferred_element_type=f32)
-        return acc_ref[:]
-
-    hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
-    kv = jnp.dot(hf_src.astype(vdt), wkv_hf_ref[:], preferred_element_type=f32)
+    # cheap recomputes: expert one-hots, incidence, per-expert vectors
     eo_edge = [(e_edge == t).astype(f32) for t in range(T)]
-    khf = _select(kv[:, : T * D], eo_edge, T, D)
-    vhf = _select(kv[:, T * D :], eo_edge, T, D)
+    eo_n = [(e_n == t).astype(f32) for t in range(T)]
     wa = jnp.zeros((Ep, D), f32)
     for t in range(T):
         wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :].astype(f32)
-    score = score_static + jnp.sum(khf * wa, axis=-1, keepdims=True)
-    v = vhs + vhf
-
+    bh = jnp.zeros((Np, 3 * D), f32)
+    for t in range(T):
+        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :].astype(f32)
     slots = jax.lax.broadcasted_iota(jnp.int32, (Ep, Np), 1)
     inc = (dslot == slots) & evalid
     inc_f = inc.astype(f32)
     inc_v = inc_f if vdt == f32 else inc.astype(vdt)
-    score_m = jnp.where(evalid, score, -1e30)
-    smax = jnp.maximum(jnp.max(jnp.where(inc, score, -1e30), axis=0, keepdims=True), -1e30)
-    shifted = jnp.clip(score_m - jnp.sum(inc_f * smax, axis=1, keepdims=True), -80.0, 0.0)
-    ex_s = jnp.exp(shifted) * evf
-    denom = jnp.sum(ex_s * inc_f, axis=0, keepdims=True) + 1e-16
-    den_edge = jnp.sum(inc_f * denom, axis=1, keepdims=True)
-    attn = ex_s / jnp.where(den_edge > 0, den_edge, 1.0)
-    msg = jax.lax.dot_general(inc_v, (v * attn).astype(vdt),
-                              dimension_numbers=_DN_T, preferred_element_type=f32)
-
-    eo_n = [(e_n == t).astype(f32) for t in range(T)]
-    gi_all = jnp.dot(msg.astype(vdt), w_ih_ref[:], preferred_element_type=f32)
-    gi = _select(gi_all, eo_n, T, 3 * D)
-    bi = jnp.zeros((Np, 3 * D), f32)
-    bh = jnp.zeros((Np, 3 * D), f32)
-    for t in range(T):
-        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :].astype(f32)
-        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :].astype(f32)
-    gi = gi + bi
-    r = jax.nn.sigmoid(gi[:, :D] + bh[:, :D])
-    z = jax.nn.sigmoid(gi[:, D : 2 * D] + bh[:, D : 2 * D])
-    nw = jnp.tanh(gi[:, 2 * D :] + r * bh[:, 2 * D :])
 
     # ---------- cotangent of h_new = (1-z)*nw*upd --------------------------
     def body_g(acc_ref):
@@ -487,17 +522,19 @@ def _level_bwd_kernel(
     dgi = jnp.concatenate([drho, dzeta, dnu], axis=1)   # [Np, 3D]
     dbh = jnp.concatenate([drho, dzeta, dnu * r], axis=1)
 
-    # parameter grads for GRU (+ dmsg) — f32 accumulators always
-    dmsg = jnp.zeros((Np, D), f32)
-    for t in range(T):
-        m = eo_n[t] * dgi                   # [Np, 3D]
-        dwih_ref[:, t * 3 * D : (t + 1) * 3 * D] += jax.lax.dot_general(
-            msg, m, dimension_numbers=_DN_T, preferred_element_type=f32)
-        dbih_ref[t : t + 1, :] += jnp.sum(m, axis=0, keepdims=True)
-        dbhh_ref[t : t + 1, :] += jnp.sum(eo_n[t] * dbh, axis=0, keepdims=True)
-        dmsg = dmsg + jax.lax.dot_general(
-            m.astype(vdt), w_ih_ref[:, t * 3 * D : (t + 1) * 3 * D],
-            dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32)
+    # parameter grads for GRU (+ dmsg) — f32 accumulators always. One
+    # expert-stacked [Np, 3TD] cotangent makes dwih/dmsg a SINGLE large
+    # matmul each instead of T skinny ones (better MXU tiling at D=64).
+    dgi_all = jnp.concatenate([eo_n[t] * dgi for t in range(T)], axis=1)  # [Np, 3TD]
+    dwih_ref[:] += jax.lax.dot_general(
+        msg, dgi_all, dimension_numbers=_DN_T, preferred_element_type=f32)
+    dbih_ref[:] += jnp.concatenate(
+        [jnp.sum(eo_n[t] * dgi, axis=0, keepdims=True) for t in range(T)], axis=0)
+    dbhh_ref[:] += jnp.concatenate(
+        [jnp.sum(eo_n[t] * dbh, axis=0, keepdims=True) for t in range(T)], axis=0)
+    dmsg = jax.lax.dot_general(
+        dgi_all.astype(vdt), w_ih_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32)
 
     # ---------- attention backward -----------------------------------------
     per_edge = jnp.dot(inc_v, dmsg.astype(vdt), preferred_element_type=f32)  # [Ep, D]
@@ -544,44 +581,46 @@ def _level_bwd_kernel(
 # custom VJP wrapper: differentiable w.r.t. pack + weights
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
 def pallas_level_scan(
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
-    num_nodes, dim, num_experts, num_chunks, interpret,
+    num_nodes, dim, num_experts, num_chunks, interpret, precision=None,
 ):
     return fused_level_scan(
         pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
         wkv_hf, w_ih, b_ih, b_hh, wa_k,
         num_nodes=num_nodes, dim=dim, num_experts=num_experts,
-        num_chunks=num_chunks, interpret=interpret,
+        num_chunks=num_chunks, interpret=interpret, precision=precision,
     )
 
 
 def _vjp_fwd(
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
-    num_nodes, dim, num_experts, num_chunks, interpret,
+    num_nodes, dim, num_experts, num_chunks, interpret, precision=None,
 ):
-    hf = fused_level_scan(
+    hf, res_e, res_n = fused_level_scan(
         pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
         wkv_hf, w_ih, b_ih, b_hh, wa_k,
         num_nodes=num_nodes, dim=dim, num_experts=num_experts,
-        num_chunks=num_chunks, interpret=interpret,
+        num_chunks=num_chunks, interpret=interpret, with_residuals=True,
+        precision=precision,
     )
     res = (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
-           wkv_hf, w_ih, b_ih, b_hh, wa_k, hf)
+           wkv_hf, w_ih, b_hh, wa_k, res_e, res_n)
     return hf, res
 
 
-def _vjp_bwd(num_nodes, dim, num_experts, num_chunks, interpret, res, ghf):
+def _vjp_bwd(num_nodes, dim, num_experts, num_chunks, interpret, precision, res, ghf):
     (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
-     wkv_hf, w_ih, b_ih, b_hh, wa_k, hf) = res
+     wkv_hf, w_ih, b_hh, wa_k, res_e, res_n) = res
     d_pack, d_wkv, d_wih, d_bih, d_bhh, d_wak = fused_level_scan_bwd(
-        ghf, hf, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
-        wkv_hf, w_ih, b_ih, b_hh, wa_k,
+        ghf, res_e, res_n,
+        pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+        wkv_hf, w_ih, b_hh, wa_k,
         num_nodes=num_nodes, dim=dim, num_experts=num_experts,
-        num_chunks=num_chunks, interpret=interpret,
+        num_chunks=num_chunks, interpret=interpret, precision=precision,
     )
     import numpy as _np
 
@@ -591,7 +630,7 @@ def _vjp_bwd(num_nodes, dim, num_experts, num_chunks, interpret, res, ghf):
     return (d_pack, zint(lv_src), zint(lv_dslot), zint(lv_evalid),
             zint(lv_nodes), zint(lv_upd), zint(lv_e_n),
             d_wkv.astype(wkv_hf.dtype), d_wih.astype(w_ih.dtype),
-            d_bih.astype(b_ih.dtype), d_bhh.astype(b_hh.dtype),
+            d_bih.astype(b_hh.dtype), d_bhh.astype(b_hh.dtype),
             d_wak.astype(wa_k.dtype))
 
 
@@ -628,12 +667,13 @@ def fused_level_scan_hbm(
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
     *, num_nodes: int, dim: int, num_experts: int, interpret: bool = False,
+    precision: str | None = None,
 ):
     return _level_scan_hbm_padded(
         pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
         wkv_hf, w_ih, b_ih, b_hh, wa_k,
         num_nodes=num_nodes, dim=dim, num_experts=num_experts,
-        interpret=interpret,
+        interpret=interpret, precision=precision,
     )[:, :dim]
 
 
@@ -641,6 +681,7 @@ def _level_scan_hbm_padded(
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
     *, num_nodes: int, dim: int, num_experts: int, interpret: bool = False,
+    precision: str | None = None,
 ):
     """HBM-streamed forward returning the LANE-PADDED hf [N, DW] (the VJP
     residual layout — DMA slicing cannot cut a <128 lane dim)."""
@@ -665,29 +706,30 @@ def _level_scan_hbm_padded(
     )
     row_spec = lambda blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(L,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [L]
-            row_spec((1, Ep, PW)),
-            row_spec((1, Ep, 1)),
-            row_spec((1, Ep, 1)),
-            row_spec((1, Ep, 1)),
-            row_spec((1, Np, 1)),
-            row_spec((1, Np, 1)),
-            row_spec((1, Np, 1)),
-            full, full, full, full, full,
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((N, DW), pack_lv.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, n_chunk, DW), pack_lv.dtype),  # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(lv_start, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
-      wkv_hf, w_ih, b_ih, b_hh, wa_k)
+    with _prec_ctx(precision):
+        return pl.pallas_call(
+            kernel,
+            grid=(L,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [L]
+                row_spec((1, Ep, PW)),
+                row_spec((1, Ep, 1)),
+                row_spec((1, Ep, 1)),
+                row_spec((1, Ep, 1)),
+                row_spec((1, Np, 1)),
+                row_spec((1, Np, 1)),
+                row_spec((1, Np, 1)),
+                full, full, full, full, full,
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((N, DW), pack_lv.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, n_chunk, DW), pack_lv.dtype),  # double buffer
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(lv_start, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+          wkv_hf, w_ih, b_ih, b_hh, wa_k)
 
 
 def _level_kernel_hbm(
@@ -838,6 +880,7 @@ def fused_level_scan_hbm_bwd(
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
     *, num_nodes: int, dim: int, num_experts: int, interpret: bool = False,
+    precision: str | None = None,
 ):
     """ghf_in_pad/hf_pad: LANE-PADDED [N, DW] (DMA cannot slice a <128 lane
     dim). Returns (d_pack_lv, d_wkv, d_wih, d_bih, d_bhh, d_wak)."""
@@ -862,7 +905,18 @@ def fused_level_scan_hbm_bwd(
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     f32 = jnp.float32
-    out = pl.pallas_call(
+    with _prec_ctx(precision):
+        out = _hbm_bwd_call(
+            kernel, L, Ep, Np, PW, D, T, N, DW, n_chunk, rev, full, acc, f32,
+            pack_lv, interpret,
+        )(lv_start, ghf_in_pad, hf_pad, pack_lv, lv_src, lv_dslot, lv_evalid,
+          lv_nodes, lv_upd, lv_e_n, wkv_hf, w_ih, b_ih, b_hh, wa_k)
+    return out[:6]
+
+
+def _hbm_bwd_call(kernel, L, Ep, Np, PW, D, T, N, DW, n_chunk, rev, full, acc,
+                  f32, pack_lv, interpret):
+    return pl.pallas_call(
         kernel,
         grid=(L,),
         in_specs=[
@@ -901,9 +955,7 @@ def fused_level_scan_hbm_bwd(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lv_start, ghf_in_pad, hf_pad, pack_lv, lv_src, lv_dslot, lv_evalid,
-      lv_nodes, lv_upd, lv_e_n, wkv_hf, w_ih, b_ih, b_hh, wa_k)
-    return out[:6]
+    )
 
 
 def _level_bwd_kernel_hbm(
@@ -1101,35 +1153,37 @@ def _level_bwd_kernel_hbm(
 # fused kernel too (f32 only)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
 def pallas_level_scan_hbm(
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
-    num_nodes, dim, num_experts, interpret,
+    num_nodes, dim, num_experts, interpret, precision=None,
 ):
     return fused_level_scan_hbm(
         pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
         wkv_hf, w_ih, b_ih, b_hh, wa_k,
         num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+        precision=precision,
     )
 
 
 def _hbm_vjp_fwd(
     pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
     wkv_hf, w_ih, b_ih, b_hh, wa_k,
-    num_nodes, dim, num_experts, interpret,
+    num_nodes, dim, num_experts, interpret, precision=None,
 ):
     hf_pad = _level_scan_hbm_padded(
         pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
         wkv_hf, w_ih, b_ih, b_hh, wa_k,
         num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+        precision=precision,
     )
     res = (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
            wkv_hf, w_ih, b_ih, b_hh, wa_k, hf_pad)
     return hf_pad[:, :dim], res
 
 
-def _hbm_vjp_bwd(num_nodes, dim, num_experts, interpret, res, ghf):
+def _hbm_vjp_bwd(num_nodes, dim, num_experts, interpret, precision, res, ghf):
     (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
      wkv_hf, w_ih, b_ih, b_hh, wa_k, hf_pad) = res
     DW = hf_pad.shape[1]
@@ -1139,6 +1193,7 @@ def _hbm_vjp_bwd(num_nodes, dim, num_experts, interpret, res, ghf):
         pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
         wkv_hf, w_ih, b_ih, b_hh, wa_k,
         num_nodes=num_nodes, dim=dim, num_experts=num_experts, interpret=interpret,
+        precision=precision,
     )
     import numpy as _np
 

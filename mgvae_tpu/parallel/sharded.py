@@ -200,7 +200,8 @@ def train_batch_specs(batch, mp_axis: str = "mp"):
     losses read (prob, node_valid, edge/tt arrays) stays replicated within
     mp so the loss math is bit-identical to the single-device step."""
     node_sharded = {"gate", "deg_in", "deg_out"}
-    block_sharded = {"fa_src", "fa_slot", "fa_valid", "ra_src", "ra_slot", "ra_valid"}
+    block_sharded = {"fa_src", "fa_slot", "fa_valid", "ra_src", "ra_slot",
+                     "ra_valid", "fa_eid", "ra_eid"}
     edge_sharded = {"lv_edge_src", "lv_edge_dst_slot", "lv_edge_valid", "lv_edge_id"}
     specs = {}
     for k in batch:
@@ -251,7 +252,13 @@ def make_sharded_train_step(cfg: DGConfig, optimizer, mesh: Mesh, sample_batch,
         # variational is rejected above)
         _k_vae, k_neg, k_drop = jax.random.split(rng, 3)
         hs, hf = _sharded_forward_body(params, batch, cfg, "mp", mp)
-        rc, rc_metrics = recon_loss(params, hs, batch, k_neg)
+        # the eid gather-transpose tables are mp-LOCAL slices here, but the
+        # losses run on fully-replicated hs/edge arrays — hide them so
+        # recon_loss takes the plain-gather path (shard_map's own transpose
+        # handles it; mixing local tables into linear_call would yield
+        # partial per-member grads that vma tracking cannot detect)
+        loss_batch = {k: v for k, v in batch.items() if k not in ("fa_eid", "ra_eid")}
+        rc, rc_metrics = recon_loss(params, hs, loss_batch, k_neg)
         pl_, new_state = prob_loss(params, state, hf, batch, True, k_drop)
         fl = func_loss(hf, batch)
         total = weights[0] * rc + weights[1] * pl_ + weights[2] * fl
@@ -297,7 +304,8 @@ def make_sharded_train_step(cfg: DGConfig, optimizer, mesh: Mesh, sample_batch,
 
 def build_batch_specs(batch, mp_axis: str = "mp"):
     node_sharded = {"gate", "forward_level", "prob", "deg_in", "deg_out"}
-    block_sharded = {"fa_src", "fa_slot", "fa_valid", "ra_src", "ra_slot", "ra_valid"}
+    block_sharded = {"fa_src", "fa_slot", "fa_valid", "ra_src", "ra_slot",
+                     "ra_valid", "fa_eid", "ra_eid"}
     edge_sharded = {"lv_edge_src", "lv_edge_dst_slot", "lv_edge_valid", "lv_edge_id"}
     specs = {}
     for k in batch:

@@ -97,7 +97,21 @@ def recon_loss(params, hs, batch, rng, neg_edges=None, mask_collisions=False):
     s, t = hs_decompose(params, hs)
     ev = batch["edge_valid"]
     e_count = jnp.maximum(batch["n_edges"].astype(hs.dtype), 1.0)
-    pos_pred = decode_edges(s, t, batch["edge_src"], batch["edge_dst"])
+    if "ra_eid" in batch and "fa_eid" in batch:
+        # positive-edge gathers with blocked one-hot transposes: no TPU
+        # scatter in the backward (models/encoder.gather_rows_t; the recon
+        # loss masks invalid edges so their cotangents are zero). ra_* is
+        # grouped by SRC (s-side), fa_* by DST (t-side). Negatives below
+        # stay dynamic gathers — their indices are sampled per step.
+        from ..models.encoder import gather_rows_t
+
+        s_e = gather_rows_t(s, batch["edge_src"],
+                            (batch["ra_eid"], batch["ra_slot"], batch["ra_valid"]))
+        t_e = gather_rows_t(t, batch["edge_dst"],
+                            (batch["fa_eid"], batch["fa_slot"], batch["fa_valid"]))
+        pos_pred = jax.nn.sigmoid(jnp.sum(s_e * t_e, axis=-1))
+    else:
+        pos_pred = decode_edges(s, t, batch["edge_src"], batch["edge_dst"])
     pos_loss = masked_mean(-jnp.log(pos_pred + EPS), ev, e_count)
 
     if neg_edges is None:

@@ -44,7 +44,7 @@ def set_lr(opt_state, lr):
     return opt_state
 
 
-def _auto_pallas(batch, cfg: DGConfig, train: bool = False) -> bool:
+def _auto_pallas(batch, cfg: DGConfig) -> bool:
     """Use the fused Pallas level kernel (with its hand-written VJP) when on
     TPU and each batch chunk fits VMEM. Decided at trace time from static
     shapes. Large batches built with collate_chunked/collate_fit carry a
@@ -81,7 +81,7 @@ def loss_and_metrics(params, state, batch, rng, weights, cfg: DGConfig, train: b
     k_vae, k_neg, k_drop = jax.random.split(rng, 3)
     hs, hf, aux = forward(
         params, batch, cfg, rng=k_vae if cfg.variational else None,
-        use_pallas=_auto_pallas(batch, cfg, train=train),
+        use_pallas=_auto_pallas(batch, cfg),
     )
     rc, rc_metrics = recon_loss(params, hs, batch, k_neg,
                                 mask_collisions=cfg.neg_collision_mask)

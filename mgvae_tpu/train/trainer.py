@@ -57,13 +57,6 @@ def _fold_keys(key, start, k):
     return jax.vmap(lambda i: jax.random.fold_in(key, i))(start + jnp.arange(k))
 
 
-def _same_shapes(batches: list) -> bool:
-    ref = {k: np.asarray(v).shape for k, v in batches[0].items()}
-    return all(
-        {k: np.asarray(v).shape for k, v in b.items()} == ref for b in batches[1:]
-    )
-
-
 class Trainer:
     def __init__(
         self,
@@ -107,7 +100,7 @@ class Trainer:
         self._chunks: int | None = None
         # per-dataset stats cache for the fixed-dims epoch pre-scan
         # (data/batching.GroupStatsCache), keyed on dataset identity
-        self._stats_cache: tuple | None = None
+        self._stats_caches: list = []  # [(dataset, GroupStatsCache)] strong refs
         # Tracing/profiling subsystem (the reference has only wall-clock
         # meters, SURVEY.md §5.1): when set, epoch 0 of every train() call is
         # captured with jax.profiler into trace_dir (view with tensorboard
@@ -379,10 +372,18 @@ class Trainer:
 
         if get_lib() is None:
             return None
-        key = (id(dataset), len(dataset))
-        if self._stats_cache is None or self._stats_cache[0] != key:
-            self._stats_cache = (key, GroupStatsCache([dataset[i] for i in range(len(dataset))]))
-        return self._stats_cache[1]
+        # small map of caches holding a STRONG reference to each dataset and
+        # compared with `is`: the train/val alternation keeps both caches
+        # live (no rebuild twice per epoch), and id() reuse after GC can
+        # never serve stale stats
+        for ds_ref, cache in self._stats_caches:
+            if ds_ref is dataset:
+                return cache
+        cache = GroupStatsCache([dataset[i] for i in range(len(dataset))])
+        self._stats_caches.append((dataset, cache))
+        if len(self._stats_caches) > 4:
+            self._stats_caches.pop(0)
+        return cache
 
     def _globalize(self, batch: dict) -> dict:
         """Assemble global dp-sharded jax.Arrays from this process's slice of
@@ -504,10 +505,16 @@ class Trainer:
                 mkeys = _METRIC_KEYS
                 pending = []  # per-step [9] and/or per-group [K, 9] rows
                 steps_done = 0
+                last_logged = 0
                 t0 = time.time()
 
                 def log_progress(last_rows):
-                    if self.is_chief and self.log_every and steps_done % self.log_every == 0:
+                    # grouped runs advance steps_done in strides of K, so a
+                    # modulo test can skip every boundary; log on distance
+                    nonlocal last_logged
+                    if (self.is_chief and self.log_every
+                            and steps_done - last_logged >= self.log_every):
+                        last_logged = steps_done
                         mm = dict(zip(mkeys, np.asarray(last_rows).reshape(-1, len(mkeys))[-1]))
                         print(
                             f"[{phase} {self.model_epoch}] {epoch}/{num_epoch} it {steps_done} "

@@ -161,3 +161,37 @@ def test_collision_mask_bias():
     # all masked out: no false positives; tn reflects only the 1.0 count
     # clamp that guards the fully-degenerate all-collision case
     assert float(m["fp"]) == 0.0 and float(m["tn"]) <= 1.0
+
+
+def test_recon_pos_gather_transpose_matches_plain():
+    """The eid-table gather (linear_call blocked one-hot transpose,
+    data/batching fa_eid/ra_eid) must give bit-identical loss AND gradients
+    to the plain dynamic gather — on plain and chunked batches."""
+    import jax.flatten_util
+
+    from mgvae_tpu.data.batching import collate, collate_chunked
+    from mgvae_tpu.data.synthetic import random_circuit
+    from mgvae_tpu.models.dg_ae import DGConfig, forward, init_params
+
+    cfg = DGConfig(modality="mig", dim_hidden=32, layernorm=True)
+    params, _ = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    graphs = [random_circuit(rng, "mig", num_inputs=5, num_gates=30) for _ in range(4)]
+    for batch in (collate(graphs), collate_chunked(graphs, 2)):
+        batch = jax.tree.map(jnp.asarray, batch)
+        assert "fa_eid" in batch and "ra_eid" in batch
+        key = jax.random.PRNGKey(1)
+
+        def loss(p, use_tbl):
+            hs, _, _ = forward(p, batch, cfg)
+            b = batch if use_tbl else {
+                k: v for k, v in batch.items() if k not in ("fa_eid", "ra_eid")
+            }
+            return losses.recon_loss(p, hs, b, key)[0]
+
+        l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+        l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+        a, _ = jax.flatten_util.ravel_pytree(g0)
+        b, _ = jax.flatten_util.ravel_pytree(g1)
+        assert float(l0) == float(l1)
+        assert float(jnp.abs(a - b).max()) == 0.0
