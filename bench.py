@@ -277,6 +277,31 @@ def bench_large_train(roundtrip, batch_graphs=64):
             SCAN_K_BIG, roundtrip,
         )
 
+    # ---- price of "highest" matmul precision (VERDICT r2 item 9): the
+    # parity mode (1.3e-7 kernel-vs-XLA) vs the default single-bf16-pass
+    # MXU mode (1e-3) — measured on the bs16 train step so the tradeoff is
+    # finally a number
+    import dataclasses as _dc
+
+    cfg_hi = _dc.replace(cfg, matmul_precision="highest")
+    sb16, _ = stacked_batches("mig", 7, SCAN_K, 16)
+    rng16 = jax.random.split(jax.random.PRNGKey(5), SCAN_K)
+
+    def _step_time(c):
+        m = make_multi_step(c, opt, None, donate=False)
+
+        def scan(params, state, opt_state, sbatch, rngs, weights):
+            return m(params, state, opt_state, sbatch, rngs, weights)[3]
+
+        ms = scan(params, state, opt_state, sb16, rng16, weights)
+        assert np.isfinite(np.asarray(ms)).all()
+        return timed_scan(scan, (params, state, opt_state, sb16, rng16, weights),
+                          SCAN_K, roundtrip)
+
+    t_def, t_hi = _step_time(cfg), _step_time(cfg_hi)
+    log(f"[precision] bs16 train step default {t_def*1e3:.2f} ms vs highest "
+        f"{t_hi*1e3:.2f} ms -> highest costs {t_hi/t_def - 1.0:+.1%}")
+
     # C chosen as the trainer would (smallest C whose chunk dims fit VMEM)
     C = pick_chunks_for(make_dataset("mig", 7, n=batch_graphs), cfg.dim_hidden)
     t_krn = timed(C)
@@ -288,7 +313,7 @@ def bench_large_train(roundtrip, batch_graphs=64):
         f"({batch_graphs / t_krn:.0f} g/s) vs unchunked-auto {t_one * 1e3:.2f} ms "
         f"({batch_graphs / t_one:.0f} g/s) -> {t_one / t_krn:.2f}x"
     )
-    return batch_graphs / t_krn, batch_graphs / t_one
+    return batch_graphs / t_krn, batch_graphs / t_one, t_hi / t_def
 
 
 def main():
@@ -311,7 +336,7 @@ def main():
     res = {}
     for i, mod in enumerate(("aig", "mig", "xag", "xmg")):
         res[mod] = bench_modality(mod, seed=i, roundtrip=roundtrip)
-    big_kernel, big_xla = bench_large_train(roundtrip)
+    big_kernel, big_xla, hi_cost = bench_large_train(roundtrip)
     # headline metric unchanged from round 1 (aig+mig harmonic mean) so
     # rounds stay comparable in NAME; values are NOT comparable to r01
     # (protocol v2 above measures strictly more honestly)
@@ -336,6 +361,7 @@ def main():
                     },
                     "bs64_train_gps_chunked_kernel": round(big_kernel, 1),
                     "bs64_train_gps_unchunked_auto": round(big_xla, 1),
+                    "highest_precision_train_cost_x": round(hi_cost, 3),
                 },
             }
         )

@@ -124,7 +124,12 @@ def collate(graphs: list[CircuitGraph], dims: dict | None = None, mp: int = 1,
     node_order = np.argsort(fwd, kind="stable")
     lv_counts = np.bincount(fwd, minlength=max_level + 1)
     dst_level = fwd[edge[1]] if e else np.zeros(0, np.int32)
-    edge_order = np.argsort(dst_level, kind="stable") if e else np.zeros(0, np.int64)
+    # edges ordered by (dst level, SOURCE id, original idx): within a level,
+    # src-sorted rows give the fused kernel tight per-SEGMENT source windows
+    # (sorted sources cluster, so each Ep-segment's [smin, smax) spans a
+    # fraction of the prefix even when PI fanins drag the global min to 0)
+    edge_order = (np.lexsort((np.arange(e), edge[0], dst_level))
+                  if e else np.zeros(0, np.int64))
     ecounts = np.bincount(dst_level, minlength=max_level + 1) if e else np.zeros(max_level + 1, np.int64)
 
     np_real = int(lv_counts[1:].max()) if max_level else 0

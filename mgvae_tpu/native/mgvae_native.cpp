@@ -280,17 +280,43 @@ int32_t mg_collate_fill(
   for (int32_t l = 1; l <= lv_real && l <= (int32_t)L; ++l)
     lv_start[l - 1] = (int32_t)starts[l];
   if (e == 0) return 0;
-  // renumbered + padded edge arrays, degrees, level edge tables
+  // renumbered + padded edge arrays, degrees (original edge order)
+  for (int64_t i = 0; i < e; ++i) {
+    int32_t ns = inv[esrc[i]], nd = inv[edst[i]];
+    e_src_out[i] = ns;
+    e_dst_out[i] = nd;
+    deg_in[nd] += 1.0f;
+    deg_out[ns] += 1.0f;
+    if (fwd[edst[i]] < 1) return -3;  // edge into a level-0 node: impossible
+  }
+  // level edge tables, rows ordered by (dst level, SOURCE id, orig idx):
+  // two stable counting sorts. Src-sorted rows give the fused kernel tight
+  // per-segment source windows (matches the numpy lexsort exactly).
   {
+    std::vector<int64_t> o1(e), order(e);
+    {
+      std::vector<int64_t> scnt(n + 1, 0);
+      for (int64_t i = 0; i < e; ++i) scnt[e_src_out[i]]++;
+      std::vector<int64_t> cur(n + 1, 0);
+      for (int64_t v = 0; v < n; ++v) cur[v + 1] = cur[v] + scnt[v];
+      for (int64_t i = 0; i < e; ++i) order[cur[e_src_out[i]]++] = i;
+      o1.swap(order);
+    }
+    {
+      std::vector<int64_t> lcnt2(lv_real + 2, 0);
+      for (int64_t i = 0; i < e; ++i) lcnt2[fwd[edst[i]]]++;
+      std::vector<int64_t> cur(lv_real + 2, 0);
+      for (int32_t l = 0; l <= lv_real; ++l) cur[l + 1] = cur[l] + lcnt2[l];
+      for (int64_t k = 0; k < e; ++k) {
+        int64_t i = o1[k];
+        order[cur[fwd[edst[i]]]++] = i;
+      }
+    }
     std::vector<int64_t> ecur(lv_real + 2, 0);
-    for (int64_t i = 0; i < e; ++i) {
-      int32_t ns = inv[esrc[i]], nd = inv[edst[i]];
-      e_src_out[i] = ns;
-      e_dst_out[i] = nd;
-      deg_in[nd] += 1.0f;
-      deg_out[ns] += 1.0f;
+    for (int64_t k = 0; k < e; ++k) {
+      int64_t i = order[k];
+      int32_t ns = e_src_out[i], nd = e_dst_out[i];
       int32_t l = fwd[edst[i]];
-      if (l < 1) return -3;  // edge into a level-0 node: impossible in a DAG
       int64_t rank = ecur[l]++;
       if (rank >= EP) return -4;
       int64_t row = (int64_t)(l - 1) * EP + rank;
@@ -567,21 +593,45 @@ static int32_t collate_one_shard(
       goff += graph_nodes[g];
     }
   }
+  for (int64_t i = 0; i < e; ++i) {
+    int32_t ns = inv[es[i]], nd = inv[ed[i]];
+    e_src[i] = ns;
+    e_dst[i] = nd;
+    deg_in[nd] += 1.0f;
+    deg_out[ns] += 1.0f;
+    if (fwd[ed[i]] < 1) return -3;
+  }
+  // level edge tables ordered by (dst level, src id, orig idx) — see
+  // mg_collate_fill for rationale; identical two-pass counting sort
   {
+    std::vector<int64_t> o1(e), order(e);
+    {
+      std::vector<int64_t> scnt(n + 1, 0);
+      for (int64_t i = 0; i < e; ++i) scnt[e_src[i]]++;
+      std::vector<int64_t> cur(n + 1, 0);
+      for (int64_t v = 0; v < n; ++v) cur[v + 1] = cur[v] + scnt[v];
+      for (int64_t i = 0; i < e; ++i) order[cur[e_src[i]]++] = i;
+      o1.swap(order);
+    }
+    {
+      std::vector<int64_t> lcnt2(lv_real + 2, 0);
+      for (int64_t i = 0; i < e; ++i) lcnt2[fwd[ed[i]]]++;
+      std::vector<int64_t> cur(lv_real + 2, 0);
+      for (int32_t l = 0; l <= lv_real; ++l) cur[l + 1] = cur[l] + lcnt2[l];
+      for (int64_t k = 0; k < e; ++k) {
+        int64_t i = o1[k];
+        order[cur[fwd[ed[i]]]++] = i;
+      }
+    }
     std::vector<int64_t> ecur(lv_real + 2, 0);
-    for (int64_t i = 0; i < e; ++i) {
-      int32_t ns = inv[es[i]], nd = inv[ed[i]];
-      e_src[i] = ns;
-      e_dst[i] = nd;
-      deg_in[nd] += 1.0f;
-      deg_out[ns] += 1.0f;
+    for (int64_t k = 0; k < e; ++k) {
+      int64_t i = order[k];
       int32_t l = fwd[ed[i]];
-      if (l < 1) return -3;
       int64_t rank = ecur[l]++;
       if (rank >= EP) return -4;
       int64_t row = (int64_t)(l - 1) * EP + rank;
-      lv_e_src[row] = ns;
-      lv_e_slot[row] = slot_of[nd];
+      lv_e_src[row] = e_src[i];
+      lv_e_slot[row] = slot_of[e_dst[i]];
       lv_e_valid[row] = 1;
       lv_e_id[row] = (int32_t)i;
       e_lv_row[i] = (int32_t)row;

@@ -56,6 +56,35 @@ def _pick_chunk(ep: int, n: int, budget: int = _CHUNK_BYTES) -> int:
 _DN_T = (((0,), (0,)), ((), ()))
 
 
+def _pick_segments(ep: int) -> int:
+    """Ep-axis segment count for per-segment source windows. Level-table
+    rows are SORTED by source id (data/batching edge ordering), so each
+    segment's valid sources span a narrow contiguous id range; the
+    gather/scatter loops then only touch tiles inside that range. EpS=128
+    keeps each one-hot matmul a full MXU M-tile; S capped to bound the
+    unrolled guard count."""
+    for eps in (128, 64, 32):
+        if ep % eps == 0:
+            s = ep // eps
+            while s > 16:
+                s //= 2
+            if ep % s == 0:
+                return s
+    return 1
+
+
+def _segment_windows(lv_src, lv_evalid, lv_start, S, N):
+    """[1+2S, CL] SMEM table: row 0 = lv_start; rows 1..S = per-segment
+    smin; rows S+1..2S = per-segment smax (exclusive). Empty segments get
+    (N, 0) so every guard skips."""
+    CL, Ep = lv_src.shape
+    src_s = lv_src.reshape(CL, S, Ep // S)
+    val_s = (lv_evalid > 0).reshape(CL, S, Ep // S)
+    smin = jnp.min(jnp.where(val_s, src_s, N), axis=2).astype(jnp.int32)   # [CL, S]
+    smax = (jnp.max(jnp.where(val_s, src_s, -1), axis=2) + 1).astype(jnp.int32)
+    return jnp.concatenate([lv_start[None], smin.T, smax.T], axis=0)
+
+
 def _prec_ctx(precision: str | None):
     """default_matmul_precision(precision), or a no-op that preserves any
     ambient context when the caller didn't specify one."""
@@ -82,6 +111,14 @@ def kernel_fits(num_nodes: int, ep: int, np_: int, dim: int) -> bool:
     chunking reduces total one-hot gather work, not just VMEM."""
     return (num_nodes <= KERNEL_MAX_NODES and ep <= KERNEL_MAX_EP
             and np_ <= KERNEL_MAX_NP and dim <= 128)
+
+
+# NOTE a chunk-PARALLEL grid variant (grid (L,), all C chunks' level i per
+# step, full hf VMEM-resident) was built and measured in round 3: bs64 MIG
+# C=3/4/6/8 all landed at ~22 ms vs 21.5 ms for this per-chunk grid — the
+# per-grid-step cost is the level's own gather/softmax work, not fixed
+# overhead, so collapsing C*L steps to L bought nothing and the variant was
+# removed (tmp/exp_r3_cp.py holds the experiment).
 
 
 def _round_up(x, m):
@@ -142,6 +179,13 @@ def fused_level_scan(
     # guard then skips, making them near-no-op grid steps (start=N would
     # gather the WHOLE chunk for nothing)
     lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
+    # PER-SEGMENT SOURCE WINDOWS: level-table rows are src-sorted, so each
+    # Ep-segment's valid sources span a narrow contiguous id range — the
+    # gather loops skip tiles outside each segment's [smin, smax) (exact:
+    # skipped tiles contain no valid source; invalid edges' rows read 0
+    # either way).
+    S = _pick_segments(Ep)
+    start_tbl = _segment_windows(lv_src, lv_evalid, lv_start, S, N)
 
     # two levels per grid step: amortizes the block-change machinery
     # (marginal win; the per-level floor is the level's own VPU math)
@@ -149,12 +193,12 @@ def fused_level_scan(
     n_chunk = _pick_chunk(Ep, N)
     EW = _round_up(3 * D + 1, LANE)   # residual widths (lane-padded)
     NW = _round_up(4 * D, LANE)
-    kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np,
-                               n_chunk=n_chunk, L=L, LPS=LPS, EW=EW, NW=NW)
-    row_spec = lambda blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    hf_spec = pl.BlockSpec((N, D), lambda i: (i // (L // LPS), 0), memory_space=pltpu.VMEM)
     hf_shape = jax.ShapeDtypeStruct((C * N, D), pack_lv.dtype)
+    kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np,
+                               n_chunk=n_chunk, L=L, LPS=LPS, EW=EW, NW=NW, S=S)
+    row_spec = lambda blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
+    hf_spec = pl.BlockSpec((N, D), lambda i: (i // (L // LPS), 0), memory_space=pltpu.VMEM)
     if with_residuals:
         out_specs = (hf_spec, row_spec((LPS, Ep, EW)), row_spec((LPS, Np, NW)))
         out_shape = (
@@ -174,7 +218,7 @@ def fused_level_scan(
             kernel,
             grid=(CL // LPS,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),     # lv_start [C*L]
+                pl.BlockSpec(memory_space=pltpu.SMEM),     # [1+2S, C*L] windows
                 row_spec((LPS, Ep, PW)),
                 row_spec((LPS, Ep, 4)),
                 row_spec((LPS, Np, 4)),
@@ -184,7 +228,7 @@ def fused_level_scan(
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(lv_start, pack_lv, edge_tbl, node_tbl,
+        )(start_tbl, pack_lv, edge_tbl, node_tbl,
           wkv_hf, w_ih, b_ih, b_hh, wa_k)
 
 
@@ -201,7 +245,7 @@ def _level_kernel(
     start_ref, pack_ref, edge_tbl_ref, node_tbl_ref,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     hf_ref, res_e_ref=None, res_n_ref=None,
-    *, N, D, T, Ep, Np, n_chunk, L, LPS, EW, NW,
+    *, N, D, T, Ep, Np, n_chunk, L, LPS, EW, NW, S,
 ):
     i = pl.program_id(0)
 
@@ -212,11 +256,14 @@ def _level_kernel(
         hf_ref[:] = jnp.zeros_like(hf_ref)
 
     for j in range(LPS):
+        r = i * LPS + j
+        win = [(start_ref[1 + s_, r], start_ref[1 + S + s_, r]) for s_ in range(S)]
         _level_body(
-            start_ref[i * LPS + j], pack_ref[j], edge_tbl_ref[j], node_tbl_ref[j],
+            start_ref[0, r], pack_ref[j], edge_tbl_ref[j], node_tbl_ref[j],
             wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
             N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk,
-            res_e_ref=res_e_ref, res_n_ref=res_n_ref, j=j, EW=EW, NW=NW,
+            res_e_ref=res_e_ref, res_n_ref=res_n_ref, res_idx=(j,), EW=EW, NW=NW,
+            win=win,
         )
 
 
@@ -224,7 +271,8 @@ def _level_body(
     start, pack, etbl, ntbl,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
     *, N, D, T, Ep, Np, n_chunk,
-    res_e_ref=None, res_n_ref=None, j=0, EW=0, NW=0,
+    res_e_ref=None, res_n_ref=None, res_idx=(0,), EW=0, NW=0, row_off=0,
+    win=None,
 ):
     # dtype discipline: vdt is the VALUE dtype (f32, or bf16 in throughput
     # mode — hf storage + matmul operands); accumulation and the
@@ -240,22 +288,28 @@ def _level_body(
     evf = evalid.astype(f32)
 
     # ---- gather hf[src] via chunked one-hot matmuls ----------------------
-    # all sources sit below this level's start id: skip chunks past it
-    def gather_src(hf_src_acc):
-        for c in range(0, N, n_chunk):
-            ch = min(n_chunk, N - c)
-
-            @pl.when(c < start)
-            def _():
-                cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
-                onehot = (src == cols).astype(vdt)
-                hf_src_acc[:] += jnp.dot(
-                    onehot, hf_ref[pl.ds(c, ch), :], preferred_element_type=f32
-                )
+    # per-SEGMENT windows: rows are src-sorted, so segment s's valid sources
+    # sit in [win[s].min, win[s].max) — each segment only touches the hf
+    # tiles inside its own range (vs the whole prefix before)
+    wins = win if win is not None else [(0, start)]
+    S = len(wins)
+    EpS = Ep // S
 
     def body_gather(hf_src_acc):
         hf_src_acc[:] = jnp.zeros_like(hf_src_acc)
-        gather_src(hf_src_acc)
+        for s_, (lo_s, hi_s) in enumerate(wins):
+            src_s = src[s_ * EpS : (s_ + 1) * EpS]
+            for c in range(0, N, n_chunk):
+                ch = min(n_chunk, N - c)
+
+                @pl.when((c < hi_s) & (c + ch > lo_s))
+                def _(src_s=src_s, s_=s_, c=c, ch=ch):
+                    cols = jax.lax.broadcasted_iota(jnp.int32, (EpS, ch), 1) + c
+                    onehot = (src_s == cols).astype(vdt)
+                    hf_src_acc[pl.ds(s_ * EpS, EpS), :] += jnp.dot(
+                        onehot, hf_ref[pl.ds(row_off + c, ch), :],
+                        preferred_element_type=f32,
+                    )
         return hf_src_acc[:]
 
     hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
@@ -318,11 +372,11 @@ def _level_body(
                    attn.astype(vdt)]
         if EW > 3 * D + 1:  # Mosaic rejects zero-size vectors
             parts_e.append(jnp.zeros((Ep, EW - 3 * D - 1), vdt))
-        res_e_ref[j] = jnp.concatenate(parts_e, axis=1)
+        res_e_ref[res_idx] = jnp.concatenate(parts_e, axis=1)
         parts_n = [msg.astype(vdt), r.astype(vdt), z.astype(vdt), nw.astype(vdt)]
         if NW > 4 * D:
             parts_n.append(jnp.zeros((Np, NW - 4 * D), vdt))
-        res_n_ref[j] = jnp.concatenate(parts_n, axis=1)
+        res_n_ref[res_idx] = jnp.concatenate(parts_n, axis=1)
 
     # ---- scatter-add back into hf (rows are fresh: previously zero) -------
     # this level's nodes are contiguous in [start, start+Np): only chunks
@@ -339,7 +393,7 @@ def _level_body(
                 onehot, h_new.astype(vdt), dimension_numbers=_DN_T,
                 preferred_element_type=f32,
             )
-            hf_ref[pl.ds(c, ch), :] += out if vdt == f32 else out.astype(vdt)
+            hf_ref[pl.ds(row_off + c, ch), :] += out if vdt == f32 else out.astype(vdt)
 
 
 # ===========================================================================
@@ -368,7 +422,7 @@ def fused_level_scan_bwd(
     C = num_chunks
     L = CL // C
     assert L * C == CL
-    EW, NW = res_e.shape[2], res_n.shape[2]
+    EW, NW = res_e.shape[-1], res_n.shape[-1]
 
     # packed index tables: row-blocked fetches per grid step
     edge_tbl = jnp.stack([lv_src, lv_dslot, lv_evalid, lv_evalid], axis=-1)  # [CL, Ep, 4]
@@ -378,26 +432,32 @@ def fused_level_scan_bwd(
     # guard then skips, making them near-no-op grid steps (start=N would
     # gather the WHOLE chunk for nothing)
     lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
+    # per-segment source windows (see fused_level_scan): the upstream ghf
+    # scatter only touches each segment's own tile range
+    S = _pick_segments(Ep)
+    start_tbl = _segment_windows(lv_src, lv_evalid, lv_start, S, N)
 
     # the backward holds ghf blocks plus larger intermediates; halve the
     # one-hot chunk budget to stay inside scoped VMEM at kernel_fits dims
     n_chunk = _pick_chunk(Ep, N, budget=_CHUNK_BYTES // 2)
-    kernel = functools.partial(_level_bwd_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk, L=L)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    vdt = pack_lv.dtype   # value dtype (bf16 in throughput mode)
+    f32 = jnp.float32     # weight-grad accumulators stay f32 across levels
+    kernel = functools.partial(_level_bwd_kernel, N=N, D=D, T=T, Ep=Ep,
+                               Np=Np, n_chunk=n_chunk, L=L, S=S)
     # grid step i -> table row (i//L)*L + (L-1 - i%L): chunks forward,
     # levels within each chunk reversed
     rrow = lambda i, L=L: (i // L) * L + (L - 1 - i % L)
     rev = lambda blk: pl.BlockSpec(blk, lambda i: (rrow(i),) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     blkN = lambda: pl.BlockSpec((N, D), lambda i: (i // L, 0), memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    vdt = pack_lv.dtype   # value dtype (bf16 in throughput mode)
-    f32 = jnp.float32     # weight-grad accumulators stay f32 across levels
+    dpack_shape = jax.ShapeDtypeStruct((CL, Ep, PW), vdt)
     with _prec_ctx(precision):
         out = pl.pallas_call(
             kernel,
             grid=(CL,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [C*L]
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # [1+2S, C*L] windows
                 blkN(),               # ghf_in (per-chunk block)
                 rev((1, Ep, EW)),     # res_e [hf_src | khf | v | attn]
                 rev((1, Np, NW)),     # res_n [msg | r | z | nw]
@@ -416,7 +476,7 @@ def fused_level_scan_bwd(
                 blkN(),                                # ghf (residual, unused)
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((CL, Ep, PW), vdt),
+                dpack_shape,
                 jax.ShapeDtypeStruct((D, 2 * T * D), f32),
                 jax.ShapeDtypeStruct((D, 3 * T * D), f32),
                 jax.ShapeDtypeStruct((T, 3 * D), f32),
@@ -430,7 +490,7 @@ def fused_level_scan_bwd(
             input_output_aliases={1: 6},
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(lv_start, ghf_in, res_e, res_n, pack_lv, edge_tbl, node_tbl,
+        )(start_tbl, ghf_in, res_e, res_n, pack_lv, edge_tbl, node_tbl,
           wkv_hf, w_ih, b_hh, wa_k)
     return out[:6]
 
@@ -440,10 +500,11 @@ def _level_bwd_kernel(
     pack_ref, edge_tbl_ref, node_tbl_ref,
     wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
     dpack_ref, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref, ghf_ref,
-    *, N, D, T, Ep, Np, n_chunk, L,
+    *, N, D, T, Ep, Np, n_chunk, L, S,
 ):
     i = pl.program_id(0)
-    start = start_ref[(i // L) * L + (L - 1 - i % L)]
+    row = (i // L) * L + (L - 1 - i % L)
+    start = start_ref[0, row]
 
     # last level of each batch chunk: seed the chunk's ghf block
     @pl.when(i % L == 0)
@@ -458,27 +519,40 @@ def _level_bwd_kernel(
         dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
         dwak_ref[:] = jnp.zeros_like(dwak_ref)
 
-    vdt = pack_ref.dtype
+    win = [(start_ref[1 + s_, row], start_ref[1 + S + s_, row]) for s_ in range(S)]
+    _level_bwd_body(
+        start, res_e_ref[0], res_n_ref[0], pack_ref[0],
+        edge_tbl_ref[0], node_tbl_ref[0],
+        wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
+        dpack_ref, (0,), dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref,
+        ghf_ref, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk,
+        win=win,
+    )
+
+
+def _level_bwd_body(
+    start, rese, resn, pack, etbl, ntbl,
+    wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
+    dpack_ref, dpack_idx, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref,
+    ghf_ref,
+    *, N, D, T, Ep, Np, n_chunk, row_off=0, win=None,
+):
+    vdt = pack.dtype
     f32 = jnp.float32
-    pack = pack_ref[0]
     e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)
-    etbl = edge_tbl_ref[0]                    # [Ep, 4]
     src = etbl[:, 0:1]
     dslot = etbl[:, 1:2]
     evalid = etbl[:, 2:3] > 0
     evf = evalid.astype(f32)
-    ntbl = node_tbl_ref[0]                    # [Np, 4]
     nodes = ntbl[:, 0:1]
     upd = (ntbl[:, 1:2] > 0).astype(f32)
     e_n = ntbl[:, 2:3]
 
     # ---------- saved forward intermediates (no recompute) -----------------
-    rese = res_e_ref[0]
     hf_src = rese[:, :D].astype(f32)
     khf = rese[:, D : 2 * D].astype(f32)
     v = rese[:, 2 * D : 3 * D].astype(f32)
     attn = rese[:, 3 * D : 3 * D + 1].astype(f32)
-    resn = res_n_ref[0]
     msg = resn[:, :D].astype(f32)
     r = resn[:, D : 2 * D].astype(f32)
     z = resn[:, 2 * D : 3 * D].astype(f32)
@@ -508,7 +582,8 @@ def _level_bwd_kernel(
             def _():
                 cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
                 onehot = (nodes == cols).astype(vdt)
-                acc_ref[:] += jnp.dot(onehot, ghf_ref[pl.ds(c, ch), :], preferred_element_type=f32)
+                acc_ref[:] += jnp.dot(onehot, ghf_ref[pl.ds(row_off + c, ch), :],
+                                      preferred_element_type=f32)
         return acc_ref[:]
 
     g = pl.run_scoped(body_g, pltpu.VMEM((Np, D), f32)) * upd
@@ -560,21 +635,28 @@ def _level_bwd_kernel(
 
     # ---------- pack grads + upstream hf cotangent --------------------------
     zeros_rest = jnp.zeros((Ep, pack.shape[1] - D - 1), vdt)
-    dpack_ref[0] = jnp.concatenate(
+    dpack_ref[dpack_idx] = jnp.concatenate(
         [dv.astype(vdt), dscore.astype(vdt), zeros_rest], axis=1
     )
 
-    for c in range(0, N, n_chunk):
-        ch = min(n_chunk, N - c)
+    wins = win if win is not None else [(0, start)]
+    S = len(wins)
+    EpS = Ep // S
+    for s_, (lo_s, hi_s) in enumerate(wins):
+        src_s = src[s_ * EpS : (s_ + 1) * EpS]
+        ev_s = evalid[s_ * EpS : (s_ + 1) * EpS]
+        dhf_s = dhf_src[s_ * EpS : (s_ + 1) * EpS]
+        for c in range(0, N, n_chunk):
+            ch = min(n_chunk, N - c)
 
-        @pl.when(c < start)
-        def _():
-            cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, ch), 1) + c
-            onehot = ((src == cols) & evalid).astype(vdt)
-            ghf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
-                onehot, dhf_src.astype(vdt), dimension_numbers=_DN_T,
-                preferred_element_type=f32,
-            ).astype(vdt)
+            @pl.when((c < hi_s) & (c + ch > lo_s))
+            def _(src_s=src_s, ev_s=ev_s, dhf_s=dhf_s, c=c, ch=ch):
+                cols = jax.lax.broadcasted_iota(jnp.int32, (EpS, ch), 1) + c
+                onehot = ((src_s == cols) & ev_s).astype(vdt)
+                ghf_ref[pl.ds(row_off + c, ch), :] += jax.lax.dot_general(
+                    onehot, dhf_s.astype(vdt), dimension_numbers=_DN_T,
+                    preferred_element_type=f32,
+                ).astype(vdt)
 
 
 # ---------------------------------------------------------------------------
@@ -612,7 +694,8 @@ def _vjp_fwd(
     return hf, res
 
 
-def _vjp_bwd(num_nodes, dim, num_experts, num_chunks, interpret, precision, res, ghf):
+def _vjp_bwd(num_nodes, dim, num_experts, num_chunks, interpret, precision,
+             res, ghf):
     (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
      wkv_hf, w_ih, b_hh, wa_k, res_e, res_n) = res
     d_pack, d_wkv, d_wih, d_bih, d_bhh, d_wak = fused_level_scan_bwd(
@@ -690,6 +773,7 @@ def _level_scan_hbm_padded(
     D, T = dim, num_experts
     N = num_nodes
 
+    raw_smin = jnp.min(jnp.where(lv_evalid > 0, lv_src, N), axis=1)
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
     lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
     raw_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1)
@@ -697,6 +781,10 @@ def _level_scan_hbm_padded(
     # guard then skips, making them near-no-op grid steps (start=N would
     # gather the WHOLE chunk for nothing)
     lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
+    # source window [smin, start): fanin locality means each level streams
+    # only a few chunks of hf through VMEM, not the whole prefix — the
+    # difference between O(N*L) and O(window*L) HBM traffic on deep graphs
+    start_tbl = jnp.stack([lv_start, raw_smin.astype(jnp.int32)])  # [2, L]
     lv_nodes = lv_nodes_c
 
     n_chunk = _pick_chunk_divisor(Ep, N)
@@ -728,7 +816,7 @@ def _level_scan_hbm_padded(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
-        )(lv_start, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+        )(start_tbl, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
           wkv_hf, w_ih, b_ih, b_hh, wa_k)
 
 
@@ -740,7 +828,8 @@ def _level_kernel_hbm(
     *, N, D, DW, T, Ep, Np, n_chunk,
 ):
     i = pl.program_id(0)
-    start = start_ref[i]
+    start = start_ref[0, i]
+    smin = start_ref[1, i]
     f32 = pack_ref.dtype
 
     # n_chunk divides N exactly: every DMA moves one full buffer slot
@@ -776,21 +865,26 @@ def _level_kernel_hbm(
     evalid = evalid_ref[0] > 0
     evf = evalid.astype(f32)
 
-    # gather hf[src]: stream chunks from HBM, double-buffered; level-major
-    # renumbering means all sources sit below ``start`` -> skip later chunks
+    # gather hf[src]: stream chunks from HBM, double-buffered. Valid sources
+    # sit in the CONTIGUOUS window [smin, start): the in-window chunks are a
+    # consecutive run, so the first one seeds the DMA chain (it contains
+    # smin) and each one prefetches its successor while it computes.
     chunks = list(range(0, N, n_chunk))
+    in_win = lambda c: (c < start) & (c + n_chunk > smin)
 
     def body_gather(acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        @pl.when(0 < start)
-        def _():
-            dma_in(chunks[0], 0).start()
+        for idx, c in enumerate(chunks):
+            # chunk containing smin (window nonempty): start the chain
+            @pl.when((c <= smin) & (smin < c + n_chunk) & (smin < start))
+            def _(c=c, idx=idx):
+                dma_in(c, idx % 2).start()
 
         for idx, c in enumerate(chunks):
             slot = idx % 2
 
-            @pl.when(c < start)
+            @pl.when(in_win(c))
             def _(c=c, slot=slot, idx=idx):
                 if idx + 1 < len(chunks):
                     nxt = chunks[idx + 1]
@@ -890,10 +984,12 @@ def fused_level_scan_hbm_bwd(
     N = num_nodes
     DW = hf_pad.shape[1]
 
+    raw_smin = jnp.min(jnp.where(lv_evalid > 0, lv_src, N), axis=1)
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
     lv_nodes_c, lv_upd, lv_e_n = (a[:, :, None] for a in (lv_nodes, lv_upd, lv_e_n))
     raw_start = jnp.min(jnp.where(lv_upd[:, :, 0] > 0, lv_nodes, N), axis=1)
     lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
+    start_tbl = jnp.stack([lv_start, raw_smin.astype(jnp.int32)])  # [2, L]
     lv_nodes = lv_nodes_c
 
     n_chunk = _pick_chunk_divisor(Ep, N)
@@ -909,7 +1005,7 @@ def fused_level_scan_hbm_bwd(
         out = _hbm_bwd_call(
             kernel, L, Ep, Np, PW, D, T, N, DW, n_chunk, rev, full, acc, f32,
             pack_lv, interpret,
-        )(lv_start, ghf_in_pad, hf_pad, pack_lv, lv_src, lv_dslot, lv_evalid,
+        )(start_tbl, ghf_in_pad, hf_pad, pack_lv, lv_src, lv_dslot, lv_evalid,
           lv_nodes, lv_upd, lv_e_n, wkv_hf, w_ih, b_ih, b_hh, wa_k)
     return out[:6]
 
@@ -967,7 +1063,8 @@ def _level_bwd_kernel_hbm(
     *, N, D, DW, T, Ep, Np, n_chunk, L,
 ):
     i = pl.program_id(0)
-    start = start_ref[L - 1 - i]
+    start = start_ref[0, L - 1 - i]
+    smin = start_ref[1, L - 1 - i]
     f32 = jnp.float32
     del ghf_in_ref  # aliased with ghf_hbm_ref; read/write through the output
 
@@ -998,18 +1095,21 @@ def _level_bwd_kernel_hbm(
             hf_hbm_ref.at[pl.ds(c, n_chunk), :], hf_buf.at[slot], hf_sem.at[slot]
         )
 
-    # ---------- recompute hf_src: double-buffered stream of the prefix -----
+    # ---------- recompute hf_src: double-buffered stream of the SOURCE
+    # WINDOW [smin, start) (a contiguous chunk run; the chunk containing
+    # smin seeds the DMA chain, each chunk prefetches its successor) -------
     def body_gather(acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        @pl.when(0 < start)
-        def _():
-            dma_hf(chunks[0], 0).start()
+        for idx, c in enumerate(chunks):
+            @pl.when((c <= smin) & (smin < c + n_chunk) & (smin < start))
+            def _(c=c, idx=idx):
+                dma_hf(c, idx % 2).start()
 
         for idx, c in enumerate(chunks):
             slot = idx % 2
 
-            @pl.when(c < start)
+            @pl.when((c < start) & (c + n_chunk > smin))
             def _(c=c, slot=slot, idx=idx):
                 if idx + 1 < len(chunks):
                     nxt = chunks[idx + 1]
@@ -1122,14 +1222,14 @@ def _level_bwd_kernel_hbm(
     zeros_rest = jnp.zeros((Ep, pack.shape[1] - D - 1), f32)
     dpack_ref[0] = jnp.concatenate([dv, dscore, zeros_rest], axis=1)
 
-    # ---------- RMW scatter of dhf_src into the ghf prefix -----------------
+    # ---------- RMW scatter of dhf_src into the ghf source window ----------
     dhf_w = (
         jnp.concatenate([dhf_src, jnp.zeros((Ep, DW - D), f32)], axis=1)
         if DW > D else dhf_src
     )
     for c in chunks:
 
-        @pl.when(c < start)
+        @pl.when((c < start) & (c + n_chunk > smin))
         def _(c=c):
             cp_in = pltpu.make_async_copy(
                 ghf_hbm_ref.at[pl.ds(c, n_chunk), :], g_buf.at[0], g_sem.at[0]
