@@ -316,6 +316,62 @@ def bench_large_train(roundtrip, batch_graphs=64):
     return batch_graphs / t_krn, batch_graphs / t_one, t_hi / t_def
 
 
+def bench_d128(roundtrip):
+    """MXU-scaling evidence (VERDICT r2 item 4): D=128 kernel-vs-XLA fwd and
+    full train step, with an MFU estimate. At D=64 the kernel is
+    per-grid-step overhead-bound; D=128 quadruples the matmul work per level
+    and is where the MXU design claims start to cash out (full sweep incl.
+    D=256 + bf16: tmp/exp_r3_d128.py, results in benchmarks/README.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgvae_tpu.models.dg_ae import DGConfig, forward, init_params
+    from mgvae_tpu.train.step import make_multi_step, make_optimizer
+
+    D = 128
+    cfg = DGConfig(modality="mig", dim_hidden=D, layernorm=True)
+    params, state = init_params(jax.random.PRNGKey(0), cfg)
+    sbatch, batch0 = stacked_batches("mig", 7, SCAN_K, 16)
+
+    def scan_fwd(params, sbatch, use_pallas):
+        def body(acc, b):
+            hs, hf, _ = forward(params, b, cfg, use_pallas=use_pallas)
+            return acc + hf.astype(jnp.float32).sum(), ()
+
+        return jax.lax.scan(body, jnp.zeros(()), sbatch)[0]
+
+    t_k = timed_scan(lambda p, s: scan_fwd(p, s, True), (params, sbatch), SCAN_K, roundtrip)
+    t_x = timed_scan(lambda p, s: scan_fwd(p, s, False), (params, sbatch), SCAN_K, roundtrip)
+
+    opt = make_optimizer(1e-4)
+    opt_state = opt.init(params)
+    multi = make_multi_step(cfg, opt, None, donate=False)
+    rngs = jax.random.split(jax.random.PRNGKey(3), SCAN_K)
+    weights = jnp.asarray([1.0, 4.0, 2.0, 0.0])
+
+    def train_scan(params, state, opt_state, sbatch, rngs, weights):
+        return multi(params, state, opt_state, sbatch, rngs, weights)[3]
+
+    ms = train_scan(params, state, opt_state, sbatch, rngs, weights)
+    assert np.isfinite(np.asarray(ms)).all(), "non-finite D=128 train metrics"
+    t_step = timed_scan(train_scan, (params, state, opt_state, sbatch, rngs, weights),
+                        SCAN_K, roundtrip)
+    # FLOP model (see tmp/exp_r3_d128.py): struct towers + level scan, x2
+    # mul+add, x3 fwd+bwd; peak 98 TFLOP/s fp32-on-MXU (v5e-class chip)
+    b0 = batch0
+    N = int(np.asarray(b0["gate"]).shape[0])
+    E = int(np.asarray(b0["edge_src"]).shape[0])
+    T, F = cfg.num_experts, cfg.dim_feature
+    struct = 2 * cfg.s_rounds * 2 * (N * D * D + N * 3 * (D + F + D) * D)
+    level = E * 4 * T * D * D + N * 3 * T * D * D
+    flops = 3 * 2 * (struct + level)
+    mfu = flops / t_step / 98e12
+    log(f"[D=128] fwd kernel {t_k*1e3:.2f} ms vs XLA {t_x*1e3:.2f} ms "
+        f"({t_x/t_k:.2f}x); train {t_step*1e3:.2f} ms -> {16/t_step:.0f} g/s "
+        f"(MFU ~{mfu*100:.1f}%)")
+    return t_x / t_k, 16.0 / t_step, mfu * 100
+
+
 def main():
     import os
 
@@ -337,6 +393,7 @@ def main():
     for i, mod in enumerate(("aig", "mig", "xag", "xmg")):
         res[mod] = bench_modality(mod, seed=i, roundtrip=roundtrip)
     big_kernel, big_xla, hi_cost = bench_large_train(roundtrip)
+    d128_ratio, d128_gps, d128_mfu = bench_d128(roundtrip)
     # headline metric unchanged from round 1 (aig+mig harmonic mean) so
     # rounds stay comparable in NAME; values are NOT comparable to r01
     # (protocol v2 above measures strictly more honestly)
@@ -362,6 +419,9 @@ def main():
                     "bs64_train_gps_chunked_kernel": round(big_kernel, 1),
                     "bs64_train_gps_unchunked_auto": round(big_xla, 1),
                     "highest_precision_train_cost_x": round(hi_cost, 3),
+                    "d128_fwd_kernel_vs_xla_x": round(d128_ratio, 2),
+                    "d128_train_gps": round(d128_gps, 1),
+                    "d128_train_mfu_pct": round(d128_mfu, 2),
                 },
             }
         )

@@ -815,6 +815,9 @@ def _level_scan_hbm_padded(
                 pltpu.VMEM((2, n_chunk, DW), pack_lv.dtype),  # double buffer
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            # wide levels (Ep>1024) push the scoped working set past the
+            # 16M default (seen: 17.17M at Ep=1280/N=114688)
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(start_tbl, pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
           wkv_hf, w_ih, b_ih, b_hh, wa_k)
