@@ -106,6 +106,13 @@ class Trainer:
         # captured with jax.profiler into trace_dir (view with tensorboard
         # or xprof).
         self.trace_dir = trace_dir
+        # Optional step-time capture (long-run p50/p99 evidence): set to a
+        # list and every dispatch appends (phase, step, host_seconds); the
+        # epoch-end metric fetch appends ("fetch:<phase>", steps, seconds).
+        # Dispatches are async, so a slow entry here is HOST-side work
+        # (collate/transfer/queue backpressure), while device time pools in
+        # the fetch row.
+        self.step_times = None
 
         self.log_dir = os.path.join(save_dir, training_id)
         os.makedirs(self.log_dir, exist_ok=True)
@@ -555,14 +562,21 @@ class Trainer:
 
                 use_multi = self.multi_step is not None and jax.process_count() == 1
                 for kind, item in self._iter_grouped(ds, use_multi):
+                    ts = time.perf_counter() if self.step_times is not None else 0.0
                     if kind == "group":
                         run_group(*item)
                     else:
                         run_single(item)
+                    if self.step_times is not None:
+                        self.step_times.append((phase, steps_done, time.perf_counter() - ts))
+                tf = time.perf_counter() if self.step_times is not None else 0.0
                 rows = (
                     np.asarray(jnp.concatenate([p.reshape(-1, len(mkeys)) for p in pending]))
                     if pending else np.zeros((0, len(mkeys)))
                 )
+                if self.step_times is not None:
+                    self.step_times.append(
+                        (f"fetch:{phase}", steps_done, time.perf_counter() - tf))
                 for row in rows:
                     m = dict(zip(mkeys, (float(x) for x in row)))
                     n_pred = max(m["n_pred"], 1.0)
