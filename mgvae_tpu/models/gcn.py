@@ -115,11 +115,15 @@ class DirectedGAE:
         return jax.nn.sigmoid(v) if sigmoid else v
 
     def recon_loss(self, s, t, pos_edge_index, neg_edge_index):
-        pos = self.decode(s, t, pos_edge_index[0], pos_edge_index[1])
-        neg = self.decode(s, t, neg_edge_index[0], neg_edge_index[1])
-        pos_loss = -jnp.log(pos + EPS).mean()
-        neg_loss = -jnp.log(1 - neg + EPS).mean()
-        pred_bin = jnp.concatenate([(pos > 0.5), (neg > 0.5)]).astype(jnp.int32)
+        # logit-side softplus form: -log(sigmoid+EPS) is an inf bomb under
+        # jit at saturation (see train/losses.log_sigmoid_loss)
+        from ..train.losses import log_sigmoid_loss
+
+        pos = self.decode(s, t, pos_edge_index[0], pos_edge_index[1], sigmoid=False)
+        neg = self.decode(s, t, neg_edge_index[0], neg_edge_index[1], sigmoid=False)
+        pos_loss = log_sigmoid_loss(pos, True).mean()
+        neg_loss = log_sigmoid_loss(neg, False).mean()
+        pred_bin = jnp.concatenate([(pos > 0.0), (neg > 0.0)]).astype(jnp.int32)
         gt_bin = jnp.concatenate([jnp.ones_like(pos), jnp.zeros_like(neg)]).astype(jnp.int32)
         return pos_loss + neg_loss, pred_bin, gt_bin
 

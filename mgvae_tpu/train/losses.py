@@ -30,7 +30,26 @@ from ..models.dg_ae import decode_edges, hs_decompose
 from ..ops.mlp import mlp_apply
 
 EPS = 1e-15
+_LOG_EPS = 34.538776394910684  # -log(EPS): the reference's saturation ceiling
 _COS_EPS = 1e-8
+
+
+def log_sigmoid_loss(logit, positive: bool):
+    """-log(sigmoid(x) + EPS) / -log(1 - sigmoid(x) + EPS) computed FROM THE
+    LOGIT as softplus(-x) / softplus(x), clipped at -log(EPS).
+
+    The naive pred-side form is an inf bomb under jit: when sigmoid
+    saturates to exactly 1.0f, eager float math gives 1 - 1 + 1e-15 = 1e-15
+    (loss 34.54, the torch reference's behavior), but XLA's algebraic
+    simplifier may reassociate (1 - pred) + eps into (1 + eps) - pred = 0
+    and emit log(0) = -inf with NaN cotangents. One saturated valid negative
+    then NaN-poisons params permanently — this killed stage 2 of the
+    full-schedule run (recon transiently saturates when the 5x prob loss
+    switches on; torch recovers, a jitted inf never does). softplus is
+    exact (-log sigmoid(x) == softplus(-x)), bounded, and the clip at
+    -log(EPS) reproduces the reference's EPS semantics at saturation."""
+    sp = jax.nn.softplus(-logit if positive else logit)
+    return jnp.minimum(sp, _LOG_EPS)
 
 
 def masked_mean(x, valid, count=None):
@@ -109,16 +128,17 @@ def recon_loss(params, hs, batch, rng, neg_edges=None, mask_collisions=False):
                             (batch["ra_eid"], batch["ra_slot"], batch["ra_valid"]))
         t_e = gather_rows_t(t, batch["edge_dst"],
                             (batch["fa_eid"], batch["fa_slot"], batch["fa_valid"]))
-        pos_pred = jax.nn.sigmoid(jnp.sum(s_e * t_e, axis=-1))
+        pos_logit = jnp.sum(s_e * t_e, axis=-1)
     else:
-        pos_pred = decode_edges(s, t, batch["edge_src"], batch["edge_dst"])
-    pos_loss = masked_mean(-jnp.log(pos_pred + EPS), ev, e_count)
+        pos_logit = decode_edges(s, t, batch["edge_src"], batch["edge_dst"],
+                                 sigmoid=False)
+    pos_loss = masked_mean(log_sigmoid_loss(pos_logit, True), ev, e_count)
 
     if neg_edges is None:
         neg_src, neg_dst = sample_negative_edges(rng, batch["edge_src"].shape[0], batch)
     else:
         neg_src, neg_dst = neg_edges
-    neg_pred = decode_edges(s, t, neg_src, neg_dst)
+    neg_logit = decode_edges(s, t, neg_src, neg_dst, sigmoid=False)
     neg_valid = ev
     neg_count = e_count
     if mask_collisions:
@@ -130,11 +150,11 @@ def recon_loss(params, hs, batch, rng, neg_edges=None, mask_collisions=False):
         )
         neg_valid = ev & ~hit
         neg_count = jnp.maximum(jnp.sum(neg_valid.astype(hs.dtype)), 1.0)
-    neg_loss = masked_mean(-jnp.log(1.0 - neg_pred + EPS), neg_valid, neg_count)
+    neg_loss = masked_mean(log_sigmoid_loss(neg_logit, False), neg_valid, neg_count)
 
     vf = ev.astype(hs.dtype)
-    pos_bin = (pos_pred > 0.5).astype(hs.dtype) * vf
-    neg_bin = (neg_pred > 0.5).astype(hs.dtype) * neg_valid.astype(hs.dtype)
+    pos_bin = (pos_logit > 0.0).astype(hs.dtype) * vf
+    neg_bin = (neg_logit > 0.0).astype(hs.dtype) * neg_valid.astype(hs.dtype)
     metrics = {
         "tp": jnp.sum(pos_bin),
         "fn": e_count - jnp.sum(pos_bin),

@@ -195,3 +195,57 @@ def test_recon_pos_gather_transpose_matches_plain():
         b, _ = jax.flatten_util.ravel_pytree(g1)
         assert float(l0) == float(l1)
         assert float(jnp.abs(a - b).max()) == 0.0
+
+
+def test_recon_loss_finite_and_grad_clean_at_saturation():
+    """Regression for the stage-2 full-schedule collapse (round 3): with a
+    valid negative whose sigmoid saturates to exactly 1.0f, the pred-side
+    form -log(1 - pred + 1e-15) is reassociated by XLA's simplifier into
+    log(0) = -inf under jit (eager float math gives 1e-15 -> loss 34.54).
+    One such edge NaN-poisoned every grad and killed training permanently.
+    The logit-side softplus form must stay finite in value AND grad, match
+    the reference's -log(EPS) ceiling, and agree with the naive form in the
+    unsaturated regime."""
+    sat = losses.log_sigmoid_loss(jnp.asarray([40.0, 200.0]), False)
+    assert np.allclose(np.asarray(sat), -np.log(losses.EPS)), sat
+    sat_p = losses.log_sigmoid_loss(jnp.asarray([-40.0, -200.0]), True)
+    assert np.allclose(np.asarray(sat_p), -np.log(losses.EPS)), sat_p
+
+    # unsaturated regime: agrees with the TRUE value (float64 ground
+    # truth). The pred-side form itself drifts from truth well before
+    # saturation — 1 - sigmoid(x) cancels catastrophically in f32 (1% off
+    # already at x=15) — so truth, not the old form, is the right oracle;
+    # torch parity tests exercise the full recon_loss at realistic logits.
+    x = jnp.linspace(-15, 15, 31)
+    x64 = np.asarray(x, np.float64)
+    want_pos = np.logaddexp(0.0, -x64)  # -log sigmoid(x)
+    want_neg = np.logaddexp(0.0, x64)   # -log(1 - sigmoid(x))
+    np.testing.assert_allclose(
+        np.asarray(losses.log_sigmoid_loss(x, True)), want_pos,
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(losses.log_sigmoid_loss(x, False)), want_neg,
+        rtol=1e-5, atol=1e-6)
+
+    # end-to-end: confident embeddings so every pos edge saturates and some
+    # sampled negatives land on real edges (also saturated) — the jitted
+    # loss and its grads must stay finite
+    rng = np.random.default_rng(3)
+    graphs = [random_circuit(rng, "mig", num_inputs=4, num_gates=24) for _ in range(2)]
+    from mgvae_tpu.models.dg_ae import init_params
+
+    cfg = DGConfig(modality="mig", dim_hidden=32)
+    params, _ = init_params(jax.random.PRNGKey(0), cfg)
+    batch = jax.tree.map(jnp.asarray, collate(graphs))
+    hs, _, _ = forward(params, batch, cfg)
+    hs_sat = hs * 200.0  # drive |logits| >> 17 so sigmoid hits exact 0/1
+
+    def loss_of(hs_in):
+        l, _ = losses.recon_loss(
+            params, hs_in, batch,
+            neg_edges=(batch["edge_src"], batch["edge_dst"]), rng=None)
+        return l
+
+    val, grad = jax.jit(jax.value_and_grad(loss_of))(hs_sat)
+    assert np.isfinite(float(val)), val
+    assert np.isfinite(np.asarray(grad)).all()
