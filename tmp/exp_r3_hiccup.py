@@ -34,7 +34,7 @@ def main():
     t0 = time.perf_counter()
     tr.train(1, graphs, graphs[:16])
     print(f"epoch 0 (compile): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    for ep in range(1, 4):
+    for ep in range(1, 9):
         tr.step_times = times = []
         t0 = time.perf_counter()
         tr.train(1, graphs, graphs[:16])
