@@ -34,7 +34,7 @@ def main():
             "C": b["lv_nodes"].shape[0] if np.asarray(b["lv_nodes"]).ndim == 3 else 1,
         }
 
-    for tag, bs, k, chunks in [("bs16", 16, K16, 1), ("bs64", 64, K64, 3)]:
+    for tag, bs, k, chunks in [("bs16", 16, K16, 1), ("bs64c3", 64, K64, 3), ("bs64c4", 64, K64, 4)]:
         sbatch, b0 = stacked_batches("mig", 7, k, bs, chunks=chunks)
         log(f"[{tag}] dims {dims_of(b0)}")
 
