@@ -123,6 +123,17 @@ def test_directed_gae_end_to_end():
     c = confusion_counts(np.asarray(pred_bin), np.asarray(gt_bin))
     assert abs(c["acc"] - (c["TP"] + c["TN"])) < 1e-9
 
+    # saturation regression (same class as train/losses.log_sigmoid_loss):
+    # confident embeddings push sigmoid to exact 0/1; the jitted loss and
+    # its grad must stay finite
+    s_sat, t_sat = s * 100.0, t * 100.0
+    f = jax.jit(lambda a, b: gae.recon_loss(
+        a, b, jnp.asarray(g.edge_index), jnp.asarray(neg))[0])
+    val, grads = jax.value_and_grad(
+        lambda a: f(a, t_sat))(s_sat)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grads)).all()
+
 
 def test_ae_model_gcn_struct_encoder():
     """--model AE path: DirectedGCNConv struct encoder inside the DG skeleton."""
