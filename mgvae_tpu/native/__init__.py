@@ -30,6 +30,10 @@ def _build() -> bool:
         return False
 
 
+# must match mg_abi_version() in mgvae_native.cpp
+_ABI_VERSION = 3
+
+
 def _stale() -> bool:
     src = os.path.join(_DIR, "mgvae_native.cpp")
     try:
@@ -62,11 +66,20 @@ def get_lib():
         # .so predates newer entry points and could not be rebuilt
         _lib = False
         return None
+    # Same-name-same-arity changes don't raise AttributeError: an in-place
+    # ABI change of mg_collate_fill/_step (appended output pointers) would
+    # be silently ignored by an old .so and corrupt gradients with no
+    # error. The exported version must match exactly.
+    if lib.mg_abi_version() != _ABI_VERSION:
+        _lib = False
+        return None
     _lib = lib
     return lib
 
 
 def _bind(lib):
+    lib.mg_abi_version.restype = ctypes.c_int32
+    lib.mg_abi_version.argtypes = []
     lib.mg_levelize.restype = ctypes.c_int64
     lib.mg_levelize.argtypes = [
         ctypes.c_int64, ctypes.c_int64,

@@ -16,6 +16,11 @@
 
 extern "C" {
 
+// ABI version: bump whenever ANY exported signature changes (the loader
+// refuses mismatches — a stale .so that fails to rebuild must be LOUD, not
+// silently called with the old arity; round-3 review finding).
+int32_t mg_abi_version() { return 3; }
+
 // ---------------------------------------------------------------------------
 // levelize: longest-path levels via Kahn propagation. Returns max level,
 // or -1 if the graph has a cycle.

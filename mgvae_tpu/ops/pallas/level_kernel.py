@@ -271,7 +271,7 @@ def _level_body(
     start, pack, etbl, ntbl,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
     *, N, D, T, Ep, Np, n_chunk,
-    res_e_ref=None, res_n_ref=None, res_idx=(0,), EW=0, NW=0, row_off=0,
+    res_e_ref=None, res_n_ref=None, res_idx=(0,), EW=0, NW=0,
     win=None,
 ):
     # dtype discipline: vdt is the VALUE dtype (f32, or bf16 in throughput
@@ -307,7 +307,7 @@ def _level_body(
                     cols = jax.lax.broadcasted_iota(jnp.int32, (EpS, ch), 1) + c
                     onehot = (src_s == cols).astype(vdt)
                     hf_src_acc[pl.ds(s_ * EpS, EpS), :] += jnp.dot(
-                        onehot, hf_ref[pl.ds(row_off + c, ch), :],
+                        onehot, hf_ref[pl.ds(c, ch), :],
                         preferred_element_type=f32,
                     )
         return hf_src_acc[:]
@@ -393,7 +393,7 @@ def _level_body(
                 onehot, h_new.astype(vdt), dimension_numbers=_DN_T,
                 preferred_element_type=f32,
             )
-            hf_ref[pl.ds(row_off + c, ch), :] += out if vdt == f32 else out.astype(vdt)
+            hf_ref[pl.ds(c, ch), :] += out if vdt == f32 else out.astype(vdt)
 
 
 # ===========================================================================
@@ -535,7 +535,7 @@ def _level_bwd_body(
     wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
     dpack_ref, dpack_idx, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref,
     ghf_ref,
-    *, N, D, T, Ep, Np, n_chunk, row_off=0, win=None,
+    *, N, D, T, Ep, Np, n_chunk, win=None,
 ):
     vdt = pack.dtype
     f32 = jnp.float32
@@ -582,7 +582,7 @@ def _level_bwd_body(
             def _():
                 cols = jax.lax.broadcasted_iota(jnp.int32, (Np, ch), 1) + c
                 onehot = (nodes == cols).astype(vdt)
-                acc_ref[:] += jnp.dot(onehot, ghf_ref[pl.ds(row_off + c, ch), :],
+                acc_ref[:] += jnp.dot(onehot, ghf_ref[pl.ds(c, ch), :],
                                       preferred_element_type=f32)
         return acc_ref[:]
 
@@ -653,7 +653,7 @@ def _level_bwd_body(
             def _(src_s=src_s, ev_s=ev_s, dhf_s=dhf_s, c=c, ch=ch):
                 cols = jax.lax.broadcasted_iota(jnp.int32, (EpS, ch), 1) + c
                 onehot = ((src_s == cols) & ev_s).astype(vdt)
-                ghf_ref[pl.ds(row_off + c, ch), :] += jax.lax.dot_general(
+                ghf_ref[pl.ds(c, ch), :] += jax.lax.dot_general(
                     onehot, dhf_s.astype(vdt), dimension_numbers=_DN_T,
                     preferred_element_type=f32,
                 ).astype(vdt)
@@ -689,15 +689,18 @@ def _vjp_fwd(
         num_chunks=num_chunks, interpret=interpret, with_residuals=True,
         precision=precision,
     )
+    # b_ih itself isn't needed by the backward, but its dtype is (the
+    # returned cotangent must match the PRIMAL's dtype, which may differ
+    # from b_hh's in a partially-cast params tree) — carry a 0-size token
     res = (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
-           wkv_hf, w_ih, b_hh, wa_k, res_e, res_n)
+           wkv_hf, w_ih, b_ih[:0], b_hh, wa_k, res_e, res_n)
     return hf, res
 
 
 def _vjp_bwd(num_nodes, dim, num_experts, num_chunks, interpret, precision,
              res, ghf):
     (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
-     wkv_hf, w_ih, b_hh, wa_k, res_e, res_n) = res
+     wkv_hf, w_ih, b_ih_tok, b_hh, wa_k, res_e, res_n) = res
     d_pack, d_wkv, d_wih, d_bih, d_bhh, d_wak = fused_level_scan_bwd(
         ghf, res_e, res_n,
         pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
@@ -713,7 +716,7 @@ def _vjp_bwd(num_nodes, dim, num_experts, num_chunks, interpret, precision,
     return (d_pack, zint(lv_src), zint(lv_dslot), zint(lv_evalid),
             zint(lv_nodes), zint(lv_upd), zint(lv_e_n),
             d_wkv.astype(wkv_hf.dtype), d_wih.astype(w_ih.dtype),
-            d_bih.astype(b_hh.dtype), d_bhh.astype(b_hh.dtype),
+            d_bih.astype(b_ih_tok.dtype), d_bhh.astype(b_hh.dtype),
             d_wak.astype(wa_k.dtype))
 
 
@@ -1005,56 +1008,50 @@ def fused_level_scan_hbm_bwd(
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     f32 = jnp.float32
     with _prec_ctx(precision):
-        out = _hbm_bwd_call(
-            kernel, L, Ep, Np, PW, D, T, N, DW, n_chunk, rev, full, acc, f32,
-            pack_lv, interpret,
+        # pallas_call inlined under the precision context like the sibling
+        # kernels — a 16-positional-arg helper invited silent arg-order bugs
+        out = pl.pallas_call(
+            kernel,
+            grid=(L,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [L]
+                pl.BlockSpec(memory_space=pltpu.ANY),    # ghf_in (HBM, aliased)
+                pl.BlockSpec(memory_space=pltpu.ANY),    # hf residual (HBM)
+                rev((1, Ep, PW)),
+                rev((1, Ep, 1)), rev((1, Ep, 1)), rev((1, Ep, 1)),
+                rev((1, Np, 1)), rev((1, Np, 1)), rev((1, Np, 1)),
+                full, full, full, full, full,
+            ],
+            out_specs=(
+                rev((1, Ep, PW)),                      # d_pack
+                acc((D, 2 * T * D)),                   # d_wkv
+                acc((D, 3 * T * D)),                   # d_wih
+                acc((T, 3 * D)),                       # d_bih
+                acc((T, 3 * D)),                       # d_bhh
+                acc((T, D)),                           # d_wak
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ghf (aliased residual)
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((L, Ep, PW), pack_lv.dtype),
+                jax.ShapeDtypeStruct((D, 2 * T * D), f32),
+                jax.ShapeDtypeStruct((D, 3 * T * D), f32),
+                jax.ShapeDtypeStruct((T, 3 * D), f32),
+                jax.ShapeDtypeStruct((T, 3 * D), f32),
+                jax.ShapeDtypeStruct((T, D), f32),
+                jax.ShapeDtypeStruct((N, DW), f32),
+            ),
+            input_output_aliases={1: 6},
+            scratch_shapes=[
+                pltpu.VMEM((2, n_chunk, DW), f32),   # hf chunks (double buffer)
+                pltpu.VMEM((2, n_chunk, DW), f32),   # ghf chunks
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
         )(start_tbl, ghf_in_pad, hf_pad, pack_lv, lv_src, lv_dslot, lv_evalid,
           lv_nodes, lv_upd, lv_e_n, wkv_hf, w_ih, b_ih, b_hh, wa_k)
     return out[:6]
-
-
-def _hbm_bwd_call(kernel, L, Ep, Np, PW, D, T, N, DW, n_chunk, rev, full, acc,
-                  f32, pack_lv, interpret):
-    return pl.pallas_call(
-        kernel,
-        grid=(L,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [L]
-            pl.BlockSpec(memory_space=pltpu.ANY),    # ghf_in (HBM, aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # hf residual (HBM)
-            rev((1, Ep, PW)),
-            rev((1, Ep, 1)), rev((1, Ep, 1)), rev((1, Ep, 1)),
-            rev((1, Np, 1)), rev((1, Np, 1)), rev((1, Np, 1)),
-            full, full, full, full, full,
-        ],
-        out_specs=(
-            rev((1, Ep, PW)),                      # d_pack
-            acc((D, 2 * T * D)),                   # d_wkv
-            acc((D, 3 * T * D)),                   # d_wih
-            acc((T, 3 * D)),                       # d_bih
-            acc((T, 3 * D)),                       # d_bhh
-            acc((T, D)),                           # d_wak
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ghf (aliased residual)
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, Ep, PW), pack_lv.dtype),
-            jax.ShapeDtypeStruct((D, 2 * T * D), f32),
-            jax.ShapeDtypeStruct((D, 3 * T * D), f32),
-            jax.ShapeDtypeStruct((T, 3 * D), f32),
-            jax.ShapeDtypeStruct((T, 3 * D), f32),
-            jax.ShapeDtypeStruct((T, D), f32),
-            jax.ShapeDtypeStruct((N, DW), f32),
-        ),
-        input_output_aliases={1: 6},
-        scratch_shapes=[
-            pltpu.VMEM((2, n_chunk, DW), f32),   # hf chunks (double buffer)
-            pltpu.VMEM((2, n_chunk, DW), f32),   # ghf chunks
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )
 
 
 def _level_bwd_kernel_hbm(
