@@ -382,8 +382,21 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # fail FAST if the tunneled backend is wedged (an aborted giant compile
+    # can hang the remote service for an hour+; a bench that never returns
+    # is worse than one that reports the outage) — SIGALRM only guards the
+    # first device contact, where a wedge manifests as an infinite hang
+    import signal
+
+    def _dead(signum, frame):
+        log("FATAL: no device contact within 600 s — tunnel/backend wedged")
+        sys.exit(3)
+
+    signal.signal(signal.SIGALRM, _dead)
+    signal.alarm(600)
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     roundtrip = measure_roundtrip()
+    signal.alarm(0)
     log(f"host<->device sync latency: {roundtrip * 1e3:.1f} ms (subtracted)")
     log("protocol v2: hoist-proof (scan over distinct batches); round-1 "
         "chained-same-batch numbers were inflated ~4-8x fwd / ~3x grad by "
