@@ -357,7 +357,7 @@ def bench_d128(roundtrip):
     t_step = timed_scan(train_scan, (params, state, opt_state, sbatch, rngs, weights),
                         SCAN_K, roundtrip)
     # FLOP model (see tmp/exp_r3_d128.py): struct towers + level scan, x2
-    # mul+add, x3 fwd+bwd; peak 98 TFLOP/s fp32-on-MXU (v5e-class chip)
+    # mul+add, x3 fwd+bwd
     b0 = batch0
     N = int(np.asarray(b0["gate"]).shape[0])
     E = int(np.asarray(b0["edge_src"]).shape[0])
@@ -365,31 +365,95 @@ def bench_d128(roundtrip):
     struct = 2 * cfg.s_rounds * 2 * (N * D * D + N * 3 * (D + F + D) * D)
     level = E * 4 * T * D * D + N * 3 * T * D * D
     flops = 3 * 2 * (struct + level)
-    mfu = flops / t_step / 98e12
+    peak, kind = peak_flops_per_chip()
+    mfu = flops / t_step / peak
     log(f"[D=128] fwd kernel {t_k*1e3:.2f} ms vs XLA {t_x*1e3:.2f} ms "
         f"({t_x/t_k:.2f}x); train {t_step*1e3:.2f} ms -> {16/t_step:.0f} g/s "
-        f"(MFU ~{mfu*100:.1f}%)")
-    return t_x / t_k, 16.0 / t_step, mfu * 100
+        f"(MFU ~{mfu*100:.1f}% of {peak/1e12:.0f} TF/s peak on {kind})")
+    return t_x / t_k, 16.0 / t_step, mfu * 100, peak, kind
+
+
+def peak_flops_per_chip():
+    """(peak_flops, device_kind) for fp32-accumulate matmuls on the MXU.
+
+    Table from public TPU specs (bf16-input/f32-accumulate peak; default
+    jax precision runs one bf16 MXU pass so this is the right roofline).
+    Unknown kinds fall back to the v5e-class 98 TF/s fp32 figure used in
+    rounds 1-3 — the JSON labels whichever constant was applied so the
+    MFU number is never silently wrong on another chip (ADVICE r3)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    table = {
+        "TPU v4": 275e12, "TPU v5": 459e12, "TPU v5p": 459e12,
+        "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+        "TPU v6 lite": 918e12, "TPU v6e": 918e12, "TPU7x": 2307e12,
+    }
+    for k, v in table.items():
+        if kind.lower().startswith(k.lower()):
+            return v, kind
+    return 98e12, f"{kind} (unknown kind; v5e-class fp32 fallback)"
+
+
+def wait_for_device(attempts=4, probe_timeout=420, backoff=180):
+    """Wedge-proof device-contact gate (VERDICT r3 item 1).
+
+    Probes device contact in a fresh SUBPROCESS (a wedged backend hangs the
+    client in C++ — an in-process retry can never recover), retrying with
+    backoff across a ~30 min window instead of one 600 s alarm-exit. Only
+    when a probe subprocess completes a real matmul round trip does the
+    main process touch jax. Returns True on contact, False when the whole
+    window passes without one."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print('CONTACT', jax.default_backend(), float((x @ x)[0, 0]))"
+    )
+    for i in range(attempts):
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=probe_timeout,
+                capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "CONTACT" in r.stdout:
+                log(f"device contact probe ok ({time.time() - t0:.0f}s, try {i + 1})")
+                return True
+            log(f"probe try {i + 1}/{attempts} failed rc={r.returncode}: "
+                f"{(r.stderr or '').strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"probe try {i + 1}/{attempts}: no device contact in {probe_timeout}s")
+        if i + 1 < attempts:
+            log(f"backing off {backoff}s before retry...")
+            time.sleep(backoff)
+    return False
 
 
 def main():
     import os
 
-    import jax
-
     # persistent compile cache: remote TPU compiles are 20s-5min cold
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+
+    if not wait_for_device():
+        log("FATAL: no device contact within the retry window — tunnel/backend wedged")
+        sys.exit(3)
+
+    import jax
+
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    # fail FAST if the tunneled backend is wedged (an aborted giant compile
-    # can hang the remote service for an hour+; a bench that never returns
-    # is worse than one that reports the outage) — SIGALRM only guards the
-    # first device contact, where a wedge manifests as an infinite hang
+    # belt-and-braces: the subprocess proved contact, but still alarm-guard
+    # the main process's own first contact so a wedge arriving BETWEEN the
+    # probe and now cannot hang the bench forever
     import signal
 
     def _dead(signum, frame):
-        log("FATAL: no device contact within 600 s — tunnel/backend wedged")
+        log("FATAL: device contact lost after a successful probe")
         sys.exit(3)
 
     signal.signal(signal.SIGALRM, _dead)
@@ -406,7 +470,7 @@ def main():
     for i, mod in enumerate(("aig", "mig", "xag", "xmg")):
         res[mod] = bench_modality(mod, seed=i, roundtrip=roundtrip)
     big_kernel, big_xla, hi_cost = bench_large_train(roundtrip)
-    d128_ratio, d128_gps, d128_mfu = bench_d128(roundtrip)
+    d128_ratio, d128_gps, d128_mfu, peak, kind = bench_d128(roundtrip)
     # headline metric unchanged from round 1 (aig+mig harmonic mean) so
     # rounds stay comparable in NAME; values are NOT comparable to r01
     # (protocol v2 above measures strictly more honestly)
@@ -435,6 +499,8 @@ def main():
                     "d128_fwd_kernel_vs_xla_x": round(d128_ratio, 2),
                     "d128_train_gps": round(d128_gps, 1),
                     "d128_train_mfu_pct": round(d128_mfu, 2),
+                    "mfu_peak_flops": peak,
+                    "mfu_device_kind": kind,
                 },
             }
         )

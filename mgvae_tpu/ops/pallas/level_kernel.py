@@ -735,6 +735,31 @@ def kernel_fits_hbm(num_nodes: int, ep: int, np_: int, dim: int) -> bool:
     return ep <= 4096 and np_ <= 2048 and dim <= 128
 
 
+# Compile-scale guard (VERDICT r3): the remote Mosaic compile of the HBM
+# train step is known-good at N=102,912 (~400 ms/step,
+# examples/giant_circuit_training.py) but an N=1M (L=2001) compile hung
+# >50 min client-side, and killing it wedged the SHARED remote compile
+# service for >1.5 h. Refuse to launch past the measured-safe ceiling
+# unless explicitly overridden — a hung compile here is a service outage,
+# not just a slow call.
+HBM_COMPILE_SAFE_NODES = 131_072
+
+
+def _guard_compile_scale(num_nodes: int) -> None:
+    import os
+
+    if num_nodes > HBM_COMPILE_SAFE_NODES and not os.environ.get(
+        "MGVAE_UNSAFE_GIANT_COMPILE"
+    ):
+        raise ValueError(
+            f"HBM level-kernel compile at N={num_nodes} exceeds the "
+            f"measured-safe ceiling ({HBM_COMPILE_SAFE_NODES}): a larger "
+            "compile has wedged the remote TPU compile service for hours. "
+            "Set MGVAE_UNSAFE_GIANT_COMPILE=1 to override (dedicated "
+            "window, fresh process, no way to cancel server-side)."
+        )
+
+
 def _pick_chunk_divisor(ep: int, n: int) -> int:
     """Largest multiple of LANE that divides n and keeps the [Ep, chunk]
     one-hot block within budget. Exact division means every DMA moves the
@@ -775,6 +800,8 @@ def _level_scan_hbm_padded(
     Np = lv_nodes.shape[1]
     D, T = dim, num_experts
     N = num_nodes
+    if not interpret:
+        _guard_compile_scale(N)
 
     raw_smin = jnp.min(jnp.where(lv_evalid > 0, lv_src, N), axis=1)
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
@@ -812,7 +839,7 @@ def _level_scan_hbm_padded(
                 row_spec((1, Np, 1)),
                 full, full, full, full, full,
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((N, DW), pack_lv.dtype),
             scratch_shapes=[
                 pltpu.VMEM((2, n_chunk, DW), pack_lv.dtype),  # double buffer
@@ -989,6 +1016,8 @@ def fused_level_scan_hbm_bwd(
     D, T = dim, num_experts
     N = num_nodes
     DW = hf_pad.shape[1]
+    if not interpret:
+        _guard_compile_scale(N)
 
     raw_smin = jnp.min(jnp.where(lv_evalid > 0, lv_src, N), axis=1)
     lv_src, lv_dslot, lv_evalid = (a[:, :, None] for a in (lv_src, lv_dslot, lv_evalid))
@@ -1015,8 +1044,8 @@ def fused_level_scan_hbm_bwd(
             grid=(L,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # lv_start [L]
-                pl.BlockSpec(memory_space=pltpu.ANY),    # ghf_in (HBM, aliased)
-                pl.BlockSpec(memory_space=pltpu.ANY),    # hf residual (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),    # ghf_in (HBM, aliased)
+                pl.BlockSpec(memory_space=pl.ANY),    # hf residual (HBM)
                 rev((1, Ep, PW)),
                 rev((1, Ep, 1)), rev((1, Ep, 1)), rev((1, Ep, 1)),
                 rev((1, Np, 1)), rev((1, Np, 1)), rev((1, Np, 1)),
@@ -1029,7 +1058,7 @@ def fused_level_scan_hbm_bwd(
                 acc((T, 3 * D)),                       # d_bih
                 acc((T, 3 * D)),                       # d_bhh
                 acc((T, D)),                           # d_wak
-                pl.BlockSpec(memory_space=pltpu.ANY),  # ghf (aliased residual)
+                pl.BlockSpec(memory_space=pl.ANY),  # ghf (aliased residual)
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((L, Ep, PW), pack_lv.dtype),

@@ -380,15 +380,17 @@ class Trainer:
         if get_lib() is None:
             return None
         # small map of caches holding a STRONG reference to each dataset and
-        # compared with `is`: the train/val alternation keeps both caches
-        # live (no rebuild twice per epoch), and id() reuse after GC can
-        # never serve stale stats
-        for ds_ref, cache in self._stats_caches:
-            if ds_ref is dataset:
+        # compared with `is` + len: the train/val alternation keeps both
+        # caches live (no rebuild twice per epoch), id() reuse after GC can
+        # never serve stale stats, and in-place dataset growth invalidates
+        # the entry. Cap 2 (train/val) — each cache materializes every graph
+        # and this host has little memory headroom (ADVICE r3).
+        for ds_ref, ds_len, cache in self._stats_caches:
+            if ds_ref is dataset and ds_len == len(dataset):
                 return cache
         cache = GroupStatsCache([dataset[i] for i in range(len(dataset))])
-        self._stats_caches.append((dataset, cache))
-        if len(self._stats_caches) > 4:
+        self._stats_caches.append((dataset, len(dataset), cache))
+        if len(self._stats_caches) > 2:
             self._stats_caches.pop(0)
         return cache
 
