@@ -942,3 +942,90 @@ def batch_shape_key(batch: dict) -> tuple:
     return tuple(
         (k, v.shape) for k, v in sorted(batch.items()) if isinstance(v, np.ndarray)
     )
+
+
+def shard_levels_by_dst(batch: dict, mp: int) -> dict:
+    """Re-group the per-level tables DST-COMPLETE across ``mp`` members for
+    within-level model parallelism (parallel/sharded.py use_pallas path).
+
+    Member m owns destination slots [m*Np_m, (m+1)*Np_m) of every level and
+    ALL edges pointing at them, so the per-destination softmax is member-
+    local and each member can run the Pallas level-step kernel on its slice
+    (ops/pallas/level_kernel.pallas_level_step). Destination slots are
+    renumbered member-locally; source ordering (src-sorted within a level)
+    is preserved, keeping the kernel's per-segment source windows valid.
+
+    Returns a NEW dict = batch + the mp tables:
+      mp_lv_edge_src / mp_lv_edge_dst_slot / mp_lv_edge_valid /
+      mp_lv_edge_id                                  [L, mp, Ep_m]
+      mp_lv_nodes / mp_lv_node_valid                 [L, mp, Np_m]
+    Padding follows collate's conventions (src/nodes -> dump node,
+    edge_id -> last padding edge, dst_slot -> 0). Accepts a single collate()
+    batch ([L, ...] tables) or a dp-stacked collate_shards() batch
+    ([dp, L, ...] tables -> [dp, L, mp, ...] outputs, common Ep_m). Unchunked
+    batches only.
+    """
+    lv_src = np.asarray(batch["lv_edge_src"])
+    stacked = lv_src.ndim == 3
+    if lv_src.ndim not in (2, 3):
+        raise ValueError("shard_levels_by_dst expects an unchunked batch")
+
+    def rows(key):
+        a = np.asarray(batch[key])
+        return a if stacked else a[None]
+
+    lv_src = rows("lv_edge_src")
+    lv_dslot = rows("lv_edge_dst_slot")
+    lv_evalid = rows("lv_edge_valid")
+    lv_eid = rows("lv_edge_id")
+    lv_nodes = rows("lv_nodes")
+    lv_nvalid = rows("lv_node_valid")
+    B, L, EP = lv_src.shape
+    NP = lv_nodes.shape[2]
+    dumps = np.asarray(batch["n_nodes"]).reshape(-1).astype(np.int64)
+    E = int(np.asarray(batch["edge_src"]).shape[-1])
+
+    np_m = _round_up(-(-NP // mp), 8)  # ceil, sublane-aligned
+
+    # per-(shard, level, member) edge counts -> common padded Ep_m
+    # (lane-aligned for full MXU one-hot tiles in the kernel)
+    emember = np.where(lv_evalid, lv_dslot // np_m, -1)
+    ep_m = 0
+    for m in range(mp):
+        ep_m = max(ep_m, int((emember == m).sum(axis=2).max(initial=0)))
+    ep_m = max(_round_up(ep_m, 128), 128)
+
+    e_src = np.empty((B, L, mp, ep_m), dtype=np.int32)
+    e_src[:] = dumps[:, None, None, None]
+    e_dslot = np.zeros((B, L, mp, ep_m), dtype=np.int32)
+    e_valid = np.zeros((B, L, mp, ep_m), dtype=bool)
+    e_id = np.full((B, L, mp, ep_m), E - 1, dtype=np.int32)
+    for b in range(B):
+        for lv in range(L):
+            for m in range(mp):
+                sel = np.flatnonzero(emember[b, lv] == m)  # preserves src order
+                k = len(sel)
+                if k == 0:
+                    continue
+                e_src[b, lv, m, :k] = lv_src[b, lv, sel]
+                e_dslot[b, lv, m, :k] = lv_dslot[b, lv, sel] - m * np_m
+                e_valid[b, lv, m, :k] = True
+                e_id[b, lv, m, :k] = lv_eid[b, lv, sel]
+
+    nodes_pad = np.empty((B, L, mp * np_m), dtype=np.int32)
+    nodes_pad[:] = dumps[:, None, None]
+    nodes_pad[:, :, :NP] = lv_nodes
+    nvalid_pad = np.zeros((B, L, mp * np_m), dtype=bool)
+    nvalid_pad[:, :, :NP] = lv_nvalid
+
+    sq = (lambda a: a) if stacked else (lambda a: a[0])
+    out = dict(batch)
+    out.update(
+        mp_lv_edge_src=sq(e_src),
+        mp_lv_edge_dst_slot=sq(e_dslot),
+        mp_lv_edge_valid=sq(e_valid),
+        mp_lv_edge_id=sq(e_id),
+        mp_lv_nodes=sq(nodes_pad.reshape(B, L, mp, np_m)),
+        mp_lv_node_valid=sq(nvalid_pad.reshape(B, L, mp, np_m)),
+    )
+    return out

@@ -272,7 +272,7 @@ def _level_body(
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
     *, N, D, T, Ep, Np, n_chunk,
     res_e_ref=None, res_n_ref=None, res_idx=(0,), EW=0, NW=0,
-    win=None,
+    win=None, h_out_ref=None,
 ):
     # dtype discipline: vdt is the VALUE dtype (f32, or bf16 in throughput
     # mode — hf storage + matmul operands); accumulation and the
@@ -377,6 +377,13 @@ def _level_body(
         if NW > 4 * D:
             parts_n.append(jnp.zeros((Np, NW - 4 * D), vdt))
         res_n_ref[res_idx] = jnp.concatenate(parts_n, axis=1)
+
+    # step-kernel variant (pallas_level_step): emit h_new for the caller to
+    # scatter in XLA — the mp-sharded path all_gathers these slices between
+    # levels, so the kernel must not write hf itself
+    if h_out_ref is not None:
+        h_out_ref[:] = h_new.astype(h_out_ref.dtype)
+        return
 
     # ---- scatter-add back into hf (rows are fresh: previously zero) -------
     # this level's nodes are contiguous in [start, start+Np): only chunks
@@ -535,7 +542,7 @@ def _level_bwd_body(
     wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
     dpack_ref, dpack_idx, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref,
     ghf_ref,
-    *, N, D, T, Ep, Np, n_chunk, win=None,
+    *, N, D, T, Ep, Np, n_chunk, win=None, g_in=None,
 ):
     vdt = pack.dtype
     f32 = jnp.float32
@@ -586,7 +593,12 @@ def _level_bwd_body(
                                       preferred_element_type=f32)
         return acc_ref[:]
 
-    g = pl.run_scoped(body_g, pltpu.VMEM((Np, D), f32)) * upd
+    if g_in is not None:
+        # step-kernel variant: the h_new cotangent arrives directly from the
+        # caller (the XLA scatter transpose), no gather from a ghf block
+        g = g_in.astype(f32) * upd
+    else:
+        g = pl.run_scoped(body_g, pltpu.VMEM((Np, D), f32)) * upd
 
     dnw = g * (1.0 - z)
     dz = -g * nw
@@ -1333,3 +1345,226 @@ def _hbm_vjp_bwd(num_nodes, dim, num_experts, interpret, precision, res, ghf):
 
 
 pallas_level_scan_hbm.defvjp(_hbm_vjp_fwd, _hbm_vjp_bwd)
+
+
+# ===========================================================================
+# Single-level STEP kernel: one level's h_new from an explicit hf input.
+#
+# Built for within-level model parallelism (parallel/sharded.py): with the
+# level tables sharded DST-COMPLETE across the 'mp' mesh axis (every
+# destination's full fan-in on one member, data/batching.shard_levels_by_dst)
+# the segment softmax is member-local, so each member can run this kernel on
+# its slice; the only cross-member traffic is the per-level all_gather of
+# h_new slices, done in XLA between calls. Unlike the fused kernel, hf is a
+# kernel INPUT (the scan carry) rather than a VMEM-resident accumulator —
+# the right trade in the mp regime (wide levels dominated by their own
+# gather/softmax work), wrong for many-small-levels batches (use the fused
+# kernel there). Same math as one fused grid step; differentiable via
+# ``pallas_level_step`` (d_hf flows through the source gathers).
+# ===========================================================================
+
+def _pvary_to(x, vma):
+    """Lift x to vary over every axis in ``vma`` (no-op on already-varying
+    axes). The transpose of pvary is psum — exactly the cross-member grad
+    reduction the step kernel's custom VJP needs under shard_map."""
+    have = getattr(jax.typeof(x), "vma", frozenset())
+    need = tuple(a for a in vma if a not in have)
+    return jax.lax.pvary(x, need) if need else x
+
+
+def _step_prologue(src, evalid, nodes, upd, N, Ep):
+    raw_start = jnp.min(jnp.where(upd > 0, nodes, N))
+    lv_start = jnp.where(raw_start == N, 0, raw_start).astype(jnp.int32)
+    S = _pick_segments(Ep)
+    start_tbl = _segment_windows(
+        src[None], evalid[None], lv_start[None], S, N
+    )  # [1+2S, 1]
+    return start_tbl, S
+
+
+def _level_step_kernel(
+    start_ref, hf_ref, pack_ref, edge_tbl_ref, node_tbl_ref,
+    wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
+    h_out_ref, res_e_ref=None, res_n_ref=None,
+    *, N, D, T, Ep, Np, n_chunk, S, EW, NW,
+):
+    win = [(start_ref[1 + s_, 0], start_ref[1 + S + s_, 0]) for s_ in range(S)]
+    _level_body(
+        start_ref[0, 0], pack_ref[:], edge_tbl_ref[:], node_tbl_ref[:],
+        wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
+        N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk,
+        res_e_ref=res_e_ref, res_n_ref=res_n_ref, res_idx=(0,),
+        EW=EW, NW=NW, win=win, h_out_ref=h_out_ref,
+    )
+
+
+def level_step_call(
+    hf, pack, src, dslot, evalid, nodes, upd, e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    *, dim, num_experts, interpret=False, with_residuals=False,
+    precision=None, vma=None,
+):
+    """One level: h_new [Np, D] (= (1-z)*nw*upd, NOT scattered) from hf
+    [N, D] and this level's tables. With ``with_residuals``, also returns
+    (res_e [1, Ep, EW], res_n [1, Np, NW]) for the backward.
+
+    ``vma``: mesh axes the call varies over — REQUIRED inside a
+    ``check_vma=True`` shard_map (the sharded train step): inputs get
+    pvary'd up to it (their transposes insert the cross-member psums on
+    the backward) and outputs are declared varying over it."""
+    if vma:
+        hf, pack, wkv_hf, w_ih, b_ih, b_hh, wa_k = (
+            _pvary_to(x, vma) for x in (hf, pack, wkv_hf, w_ih, b_ih, b_hh, wa_k))
+    N = hf.shape[0]
+    Ep, PW = pack.shape
+    Np = nodes.shape[0]
+    D, T = dim, num_experts
+    edge_tbl = jnp.stack([src, dslot, evalid, evalid], axis=-1)   # [Ep, 4]
+    node_tbl = jnp.stack([nodes, upd, e_n, e_n], axis=-1)         # [Np, 4]
+    start_tbl, S = _step_prologue(src, evalid, nodes, upd, N, Ep)
+    n_chunk = _pick_chunk(Ep, N)
+    EW = _round_up(3 * D + 1, LANE)
+    NW = _round_up(4 * D, LANE)
+    kernel = functools.partial(
+        _level_step_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk,
+        S=S, EW=EW, NW=NW,
+    )
+    sds = functools.partial(jax.ShapeDtypeStruct, **({"vma": vma} if vma else {}))
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [sds((Np, D), pack.dtype)]
+    out_specs = [full]
+    if with_residuals:
+        out_shape += [sds((1, Ep, EW), pack.dtype),
+                      sds((1, Np, NW), pack.dtype)]
+        out_specs += [full, full]
+    with _prec_ctx(precision):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [full] * 9,
+            out_specs=tuple(out_specs) if with_residuals else out_specs[0],
+            out_shape=tuple(out_shape) if with_residuals else out_shape[0],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(start_tbl, hf, pack, edge_tbl, node_tbl, wkv_hf, w_ih, b_ih, b_hh, wa_k)
+
+
+def _level_step_bwd_kernel(
+    start_ref, g_ref, res_e_ref, res_n_ref, pack_ref,
+    edge_tbl_ref, node_tbl_ref,
+    wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
+    dpack_ref, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref, ghf_ref,
+    *, N, D, T, Ep, Np, n_chunk, S,
+):
+    for ref in (dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref, ghf_ref):
+        ref[:] = jnp.zeros_like(ref)
+    win = [(start_ref[1 + s_, 0], start_ref[1 + S + s_, 0]) for s_ in range(S)]
+    _level_bwd_body(
+        start_ref[0, 0], res_e_ref[0], res_n_ref[0], pack_ref[:],
+        edge_tbl_ref[:], node_tbl_ref[:],
+        wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
+        dpack_ref, (0,), dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref,
+        ghf_ref, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk, win=win,
+        g_in=g_ref[:],
+    )
+
+
+def level_step_bwd_call(
+    g, res_e, res_n, pack, src, dslot, evalid, nodes, upd, e_n,
+    wkv_hf, w_ih, b_hh, wa_k,
+    *, num_nodes, dim, num_experts, interpret=False, precision=None, vma=None,
+):
+    """Backward of one level step. Returns (d_pack [Ep, PW], d_wkv, d_wih,
+    d_bih, d_bhh, d_wak, d_hf [N, D])."""
+    if vma:
+        g, res_e, res_n, pack, wkv_hf, w_ih, b_hh, wa_k = (
+            _pvary_to(x, vma)
+            for x in (g, res_e, res_n, pack, wkv_hf, w_ih, b_hh, wa_k))
+    N = num_nodes
+    Ep, PW = pack.shape
+    Np = nodes.shape[0]
+    D, T = dim, num_experts
+    edge_tbl = jnp.stack([src, dslot, evalid, evalid], axis=-1)
+    node_tbl = jnp.stack([nodes, upd, e_n, e_n], axis=-1)
+    start_tbl, S = _step_prologue(src, evalid, nodes, upd, N, Ep)
+    n_chunk = _pick_chunk(Ep, N)
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _level_step_bwd_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk, S=S,
+    )
+    sds = functools.partial(jax.ShapeDtypeStruct, **({"vma": vma} if vma else {}))
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    with _prec_ctx(precision):
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [full] * 10,
+            out_specs=(full,) * 7,
+            out_shape=(
+                sds((1, Ep, PW), pack.dtype),
+                sds((D, 2 * T * D), f32),
+                sds((D, 3 * T * D), f32),
+                sds((T, 3 * D), f32),
+                sds((T, 3 * D), f32),
+                sds((T, D), f32),
+                sds((N, D), pack.dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(start_tbl, g, res_e, res_n, pack, edge_tbl, node_tbl,
+          wkv_hf, w_ih, b_hh, wa_k)
+    return (out[0][0],) + out[1:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
+def pallas_level_step(
+    hf, pack, src, dslot, evalid, nodes, upd, e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    dim, num_experts, interpret, precision=None, vma=None,
+):
+    """Differentiable single-level step (see level_step_call). Gradients
+    flow to hf (through the source gathers), pack, and the weights."""
+    return level_step_call(
+        hf, pack, src, dslot, evalid, nodes, upd, e_n,
+        wkv_hf, w_ih, b_ih, b_hh, wa_k,
+        dim=dim, num_experts=num_experts, interpret=interpret,
+        precision=precision, vma=vma,
+    )
+
+
+def _step_vjp_fwd(
+    hf, pack, src, dslot, evalid, nodes, upd, e_n,
+    wkv_hf, w_ih, b_ih, b_hh, wa_k,
+    dim, num_experts, interpret, precision=None, vma=None,
+):
+    h_new, res_e, res_n = level_step_call(
+        hf, pack, src, dslot, evalid, nodes, upd, e_n,
+        wkv_hf, w_ih, b_ih, b_hh, wa_k,
+        dim=dim, num_experts=num_experts, interpret=interpret,
+        with_residuals=True, precision=precision, vma=vma,
+    )
+    # hf[:, :0] is a 0-byte shape token: the backward only needs N (hf_src
+    # itself is saved in res_e); b_ih[:0] likewise carries only its dtype
+    res = (hf[:, :0], pack, src, dslot, evalid, nodes, upd, e_n,
+           wkv_hf, w_ih, b_ih[:0], b_hh, wa_k, res_e, res_n)
+    return h_new, res
+
+
+def _step_vjp_bwd(dim, num_experts, interpret, precision, vma, res, g):
+    (hf_tok, pack, src, dslot, evalid, nodes, upd, e_n,
+     wkv_hf, w_ih, b_ih_tok, b_hh, wa_k, res_e, res_n) = res
+    d_pack, d_wkv, d_wih, d_bih, d_bhh, d_wak, d_hf = level_step_bwd_call(
+        g, res_e, res_n, pack, src, dslot, evalid, nodes, upd, e_n,
+        wkv_hf, w_ih, b_hh, wa_k,
+        num_nodes=hf_tok.shape[0], dim=dim, num_experts=num_experts,
+        interpret=interpret, precision=precision, vma=vma,
+    )
+    import numpy as _np
+
+    zint = lambda a: _np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (d_hf.astype(hf_tok.dtype), d_pack, zint(src), zint(dslot),
+            zint(evalid), zint(nodes), zint(upd), zint(e_n),
+            d_wkv.astype(wkv_hf.dtype), d_wih.astype(w_ih.dtype),
+            d_bih.astype(b_ih_tok.dtype), d_bhh.astype(b_hh.dtype),
+            d_wak.astype(wa_k.dtype))
+
+
+pallas_level_step.defvjp(_step_vjp_fwd, _step_vjp_bwd)

@@ -167,7 +167,99 @@ def _sharded_forward_body(params, batch, cfg: DGConfig, mp_axis: str, mp: int):
     return hs, hf
 
 
-def make_sharded_forward(cfg: DGConfig, mesh: Mesh, sample_batch, mp_axis: str = "mp"):
+def _sharded_forward_pallas(params, batch, cfg: DGConfig, mp_axis: str, mp: int,
+                            interpret: bool, vma: frozenset | None = None):
+    """Within-level-sharded forward whose level recurrence rides the Pallas
+    level-step kernel (VERDICT r3 item 3). Requires the DST-COMPLETE member
+    tables from data/batching.shard_levels_by_dst: every destination's full
+    fan-in lives on one member, so the segment softmax is member-LOCAL (no
+    pmax/psum inside the level) and each member runs
+    ops/pallas/level_kernel.pallas_level_step on its slice. The only
+    cross-member traffic is ONE all_gather of h_new slices per level
+    (vs 3 collectives/level on the edge-split XLA path). Differentiable:
+    the kernel's custom VJP returns d_hf/d_pack per member and shard_map's
+    replication tracking inserts the mp psums at the varying/replicated
+    boundaries."""
+    from ..models.dg_ae import _level_statics
+    from ..ops.pallas.level_kernel import LANE, _round_up, pallas_level_step
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+    D, T = cfg.dim_hidden, cfg.num_experts
+    gate_l = batch["gate"]
+    x_feat_l = struct_input(gate_l, cfg, dtype)
+    n = gate_l.shape[0] * mp
+
+    s = _sharded_struct_tower(params["struct"]["source"], x_feat_l, batch,
+                              cfg.s_rounds, cfg.layernorm, n, mp_axis)
+    t = _sharded_struct_tower(params["struct"]["target"], x_feat_l, batch,
+                              cfg.t_rounds, cfg.layernorm, n, mp_axis)
+    hs = linear_apply(params["hs_linear"], jnp.concatenate([s, t], axis=-1))
+
+    gate_full = jax.lax.all_gather(gate_l, mp_axis, axis=0, tiled=True)
+    expert = cfg.expert_of_gate[gate_full]
+
+    # per-edge statics, replicated (plain-gather path: the eid transpose
+    # tables are mp-local slices here and linear_call partial grads would
+    # evade vma tracking — shard_map's own gather transpose handles this)
+    sb = {k: v for k, v in batch.items() if k not in ("fa_eid", "ra_eid")}
+    pack, wkv_hf = _level_statics(params, sb, cfg, hs, expert)
+    pw = _round_up(D + 2, LANE)
+    pack = jnp.pad(pack, ((0, 0), (0, pw - pack.shape[1])))
+
+    # member-local level tables (leading member axis sharded away)
+    esrc = batch["mp_lv_edge_src"][:, 0]          # [L, Ep_m]
+    edslot = batch["mp_lv_edge_dst_slot"][:, 0]
+    evalid = batch["mp_lv_edge_valid"][:, 0].astype(jnp.int32)
+    eid = batch["mp_lv_edge_id"][:, 0]
+    nodes_l = batch["mp_lv_nodes"][:, 0]          # [L, Np_m]
+    nvalid_l = batch["mp_lv_node_valid"][:, 0]
+    pack_lv = pack[eid]                            # [L, Ep_m, PW]
+    upd_l = (nvalid_l & (expert[nodes_l] >= 0)).astype(jnp.int32)
+    e_n_l = jnp.maximum(expert[nodes_l], 0)
+    nodes_full = jax.lax.all_gather(nodes_l, mp_axis, axis=1, tiled=True)
+    upd_full = jax.lax.all_gather(upd_l, mp_axis, axis=1, tiled=True)
+
+    ex = params["experts"]
+    prec = cfg.matmul_precision
+    # under a check_vma shard_map (the train step) the custom-VJP boundary
+    # needs every differentiable input lifted to the full varying set BEFORE
+    # the call — the pvary transposes then insert the mp psums on d_hf /
+    # d_pack / d_weights (weights lifted once, outside the scan)
+    w_ih, b_ih, b_hh, wa_k = ex["w_ih"], ex["b_ih"], ex["b_hh"], ex["wa_k"]
+    if vma:
+        from ..ops.pallas.level_kernel import _pvary_to
+
+        wkv_hf, w_ih, b_ih, b_hh, wa_k = (
+            _pvary_to(x, vma) for x in (wkv_hf, w_ih, b_ih, b_hh, wa_k))
+
+    def body(hf, lv):
+        h_new = pallas_level_step(
+            hf, lv["pack"], lv["src"], lv["dslot"], lv["evalid"],
+            lv["nodes"], lv["upd"], lv["e_n"],
+            wkv_hf, w_ih, b_ih, b_hh, wa_k,
+            D, T, interpret, prec, vma,
+        )
+        h_full = jax.lax.all_gather(h_new, mp_axis, axis=0, tiled=True)
+        hf = hf.at[lv["nodes_full"]].set(
+            jnp.where(lv["upd_full"][:, None] > 0, h_full, 0.0))
+        return hf, None
+
+    lvs = dict(pack=pack_lv, src=esrc, dslot=edslot, evalid=evalid,
+               nodes=nodes_l, upd=upd_l, e_n=e_n_l,
+               nodes_full=nodes_full, upd_full=upd_full)
+    hf0 = jnp.zeros((n, D), hs.dtype)
+    if vma:
+        # the scan carry must have a stable vma type: the scatter of the
+        # all_gathered h_new keeps the full varying set, so the carry rides
+        # varying throughout (numerically replicated over mp; the loss
+        # pmean's replicate() is then a numeric no-op over mp)
+        hf0 = _pvary_to(hf0, vma)
+    hf, _ = jax.lax.scan(body, hf0, lvs)
+    return hs, hf
+
+
+def make_sharded_forward(cfg: DGConfig, mesh: Mesh, sample_batch, mp_axis: str = "mp",
+                         use_pallas: bool = False, interpret: bool = False):
     """Returns jitted fn(params, batch) -> (hs, hf) with within-level
     sharding over ``mp_axis``. ``sample_batch`` provides the key structure
     for the sharding specs; batches are normal collate() dicts.
@@ -178,10 +270,18 @@ def make_sharded_forward(cfg: DGConfig, mesh: Mesh, sample_batch, mp_axis: str =
     assert cfg.num_rounds == 1
     mp = mesh.shape[mp_axis]
     assert sample_batch["gate"].shape[0] % (128 * mp) == 0, "N must divide mp*128"
-    assert sample_batch["lv_edge_src"].shape[1] % mp == 0, "Ep must divide mp"
+    if use_pallas:
+        assert "mp_lv_edge_src" in sample_batch, \
+            "use_pallas needs batching.shard_levels_by_dst(batch, mp) tables"
+        assert sample_batch["mp_lv_edge_src"].shape[1] == mp
 
-    def fwd(params, batch):
-        return _sharded_forward_body(params, batch, cfg, mp_axis, mp)
+        def fwd(params, batch):
+            return _sharded_forward_pallas(params, batch, cfg, mp_axis, mp, interpret)
+    else:
+        assert sample_batch["lv_edge_src"].shape[1] % mp == 0, "Ep must divide mp"
+
+        def fwd(params, batch):
+            return _sharded_forward_body(params, batch, cfg, mp_axis, mp)
 
     specs = build_batch_specs(sample_batch, mp_axis)
     fn = shard_map(
@@ -211,13 +311,16 @@ def train_batch_specs(batch, mp_axis: str = "mp"):
             specs[k] = P(mp_axis, None)
         elif k in edge_sharded:
             specs[k] = P(None, mp_axis)
+        elif k in _MEMBER_SHARDED:
+            specs[k] = P(None, mp_axis, None)
         else:
             specs[k] = P()
     return specs
 
 
 def make_sharded_train_step(cfg: DGConfig, optimizer, mesh: Mesh, sample_batch,
-                            donate: bool = True):
+                            donate: bool = True, use_pallas: bool = False,
+                            interpret: bool = False):
     """Full training step on a 2-D ('dp', 'mp') mesh: data parallel over
     'dp' (one collate_shards shard per dp member), within-level model
     parallel over 'mp' (the SP analogue — each dp shard's node/edge axes are
@@ -237,7 +340,12 @@ def make_sharded_train_step(cfg: DGConfig, optimizer, mesh: Mesh, sample_batch,
     assert cfg.num_rounds == 1 and not cfg.variational
     mp = mesh.shape["mp"]
     assert sample_batch["gate"].shape[-1] % (128 * mp) == 0, "collate with mp=mp"
-    assert sample_batch["lv_edge_src"].shape[-1] % mp == 0, "collate with mp=mp"
+    if use_pallas:
+        assert "mp_lv_edge_src" in sample_batch, \
+            "use_pallas needs batching.shard_levels_by_dst(batch, mp) tables"
+        assert sample_batch["mp_lv_edge_src"].shape[-2] == mp
+    else:
+        assert sample_batch["lv_edge_src"].shape[-1] % mp == 0, "collate with mp=mp"
 
     sample_shard = {k: v[0] if hasattr(v, "shape") and v.ndim > 0 else v
                     for k, v in sample_batch.items()}
@@ -251,7 +359,11 @@ def make_sharded_train_step(cfg: DGConfig, optimizer, mesh: Mesh, sample_batch,
         # 2-D step is bit-comparable with the dp-only step (k_vae unused:
         # variational is rejected above)
         _k_vae, k_neg, k_drop = jax.random.split(rng, 3)
-        hs, hf = _sharded_forward_body(params, batch, cfg, "mp", mp)
+        if use_pallas:
+            hs, hf = _sharded_forward_pallas(
+                params, batch, cfg, "mp", mp, interpret, vma=vma)
+        else:
+            hs, hf = _sharded_forward_body(params, batch, cfg, "mp", mp)
         # the eid gather-transpose tables are mp-LOCAL slices here, but the
         # losses run on fully-replicated hs/edge arrays — hide them so
         # recon_loss takes the plain-gather path (shard_map's own transpose
@@ -268,8 +380,12 @@ def make_sharded_train_step(cfg: DGConfig, optimizer, mesh: Mesh, sample_batch,
 
         # pmean over the axes each leaf still varies on: averages the dp
         # shards, and is a numeric no-op over mp (already replicated there —
-        # the vma checker just can't always prove it).
+        # the vma checker just can't always prove it). Without vma tracking
+        # (the interpret-mode pallas path, see check_vma below) pmean over
+        # both axes unconditionally — same numbers, no tracking to consult.
         def replicate(x):
+            if not check_vma:
+                return jax.lax.pmean(x, ("dp", "mp"))
             axes = tuple(a for a in ("dp", "mp") if a in getattr(x.aval, "vma", ()))
             return jax.lax.pmean(x, axes) if axes else x
 
@@ -285,11 +401,21 @@ def make_sharded_train_step(cfg: DGConfig, optimizer, mesh: Mesh, sample_batch,
     # single collective fixes that mix. Differentiating through the
     # shard_map'ed loss uses shard_map's own transpose rules, which insert
     # the correct psums at the replicated/varying boundaries.
+    # check_vma=True is the default correctness story (replication tracking
+    # inserts the transpose psums). The interpret-mode Pallas path cannot run
+    # under it (jax's pallas HLO interpreter evaluates the kernel jaxpr with
+    # vma-free internal grid indices and trips the vma checker), so that
+    # path runs check_vma=False with the pvary/psum structure made explicit:
+    # the kernel custom-VJP's pvary lifts + the unconditional pmean above.
+    # Grad parity vs the dp-only step is asserted by tests/test_sharded.py.
+    check_vma = not (use_pallas and interpret)
+    vma = frozenset(("dp", "mp")) if (use_pallas and check_vma) else None
     rep = P()
     loss_shmap = shard_map(
         _loss_member, mesh=mesh,
         in_specs=(rep, rep, bspecs, rep, rep),
         out_specs=(rep, (rep, rep)),
+        check_vma=check_vma,
     )
 
     def _train(params, state, opt_state, batch, rng, weights):
@@ -315,6 +441,13 @@ def build_batch_specs(batch, mp_axis: str = "mp"):
             specs[k] = P(mp_axis, None)
         elif k in edge_sharded:
             specs[k] = P(None, mp_axis)
+        elif k in _MEMBER_SHARDED:
+            specs[k] = P(None, mp_axis, None)
         else:
             specs[k] = P()
     return specs
+
+
+# dst-complete member tables (batching.shard_levels_by_dst): [L, mp, ...]
+_MEMBER_SHARDED = {"mp_lv_edge_src", "mp_lv_edge_dst_slot", "mp_lv_edge_valid",
+                   "mp_lv_edge_id", "mp_lv_nodes", "mp_lv_node_valid"}

@@ -113,3 +113,93 @@ def test_dp_mp_train_step_converges():
         params, state, opt_state, m = step(params, state, opt_state, batch, jax.random.PRNGKey(i), weights)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_sharded_pallas_forward_matches_single_device():
+    """use_pallas mp path (dst-complete member tables + the level-step
+    kernel, interpret mode) == single-device forward (VERDICT r3 item 3)."""
+    from mgvae_tpu.data.batching import shard_levels_by_dst
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs[:4], ("mp",))
+    cfg = DGConfig(modality="mig", dim_hidden=64, layernorm=True)
+    params, _ = init_params(jax.random.PRNGKey(0), cfg)
+    batch_np = shard_levels_by_dst(collate(_graphs(n_graphs=16), mp=4), 4)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+
+    hs0, hf0, _ = forward(params, batch, cfg)
+    fn = make_sharded_forward(cfg, mesh, batch, use_pallas=True, interpret=True)
+    hs1, hf1 = fn(params, batch)
+    n = int(batch["n_nodes"])
+    np.testing.assert_allclose(np.asarray(hs1)[:n], np.asarray(hs0)[:n], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hf1)[:n], np.asarray(hf0)[:n], rtol=1e-4, atol=1e-4)
+
+
+def test_dp_mp_pallas_train_step_matches_dp_only():
+    """dp x mp train step with the Pallas level-step kernel (interpret) ==
+    the dp-only step: the custom-VJP d_hf/d_pack/d_weight path and the
+    cross-member psums are exactly the single-device gradients."""
+    import optax
+
+    from mgvae_tpu.data.batching import shard_levels_by_dst
+    from mgvae_tpu.train.step import make_train_step
+
+    devs = np.asarray(jax.devices())
+    cfg = DGConfig(modality="mig", dim_hidden=32, s_rounds=2, t_rounds=2, layernorm=True)
+    params, state = init_params(jax.random.PRNGKey(3), cfg)
+    optimizer = optax.sgd(0.1)  # linear in the gradient (see above)
+    opt_state = optimizer.init(params)
+
+    shards = [_graphs(seed=10 + d, n_graphs=8, num_gates=120) for d in range(2)]
+    batch_np = collate_shards(shards, mp=2)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    batch_mp = jax.tree.map(jnp.asarray, shard_levels_by_dst(batch_np, 2))
+    rng = jax.random.PRNGKey(7)
+    weights = jnp.asarray([1.0, 4.0, 2.0, 0.0])
+
+    mesh_dp = Mesh(devs[:2], ("dp",))
+    step_dp, _ = make_train_step(cfg, optimizer, mesh_dp, donate=False)
+    p_dp, _, _, m_dp = step_dp(params, state, opt_state, batch, rng, weights)
+
+    mesh2 = Mesh(devs[:4].reshape(2, 2), ("dp", "mp"))
+    step2 = make_sharded_train_step(cfg, optimizer, mesh2, batch_mp, donate=False,
+                                    use_pallas=True, interpret=True)
+    p2, _, _, m2 = step2(params, state, opt_state, batch_mp, rng, weights)
+
+    for k in m_dp:
+        np.testing.assert_allclose(np.asarray(m_dp[k]), np.asarray(m2[k]),
+                                   rtol=1e-5, atol=1e-6)
+    deltas = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), p_dp, p2)
+    assert max(jax.tree.leaves(deltas)) < 5e-6, deltas
+
+
+def test_shard_levels_by_dst_invariants():
+    """The dst-complete transform: every valid edge appears exactly once, on
+    the member owning its destination slot; node slots partition cleanly."""
+    from mgvae_tpu.data.batching import shard_levels_by_dst
+
+    mp = 4
+    batch = collate(_graphs(seed=5, n_graphs=12), mp=mp)
+    out = shard_levels_by_dst(batch, mp)
+    np_m = out["mp_lv_nodes"].shape[-1]
+    # edge conservation + dst-completeness + member-local slot renumbering
+    assert int(out["mp_lv_edge_valid"].sum()) == int(batch["lv_edge_valid"].sum())
+    L = batch["lv_nodes"].shape[0]
+    for lv in range(L):
+        for m in range(mp):
+            v = out["mp_lv_edge_valid"][lv, m]
+            if not v.any():
+                continue
+            ls = out["mp_lv_edge_dst_slot"][lv, m][v]
+            assert ls.min() >= 0 and ls.max() < np_m
+            # global slot = member-local + offset must match the original set
+            glob = np.sort(ls + m * np_m)
+            orig_member = batch["lv_edge_dst_slot"][lv][batch["lv_edge_valid"][lv]]
+            orig_m = np.sort(orig_member[orig_member // np_m == m])
+            np.testing.assert_array_equal(glob, orig_m)
+    # node tables are a padded reshape of the originals
+    nodes_flat = out["mp_lv_nodes"].reshape(L, -1)
+    NP = batch["lv_nodes"].shape[1]
+    np.testing.assert_array_equal(nodes_flat[:, :NP], batch["lv_nodes"])
+    assert not out["mp_lv_node_valid"].reshape(L, -1)[:, NP:].any()

@@ -10,6 +10,14 @@ from __future__ import annotations
 
 import os
 
+# the axon TPU plugin pins jax_platforms via jax config, so a plain
+# JAX_PLATFORMS env var cannot force CPU; this knob can (used by the
+# CPU-only quality runs, e.g. benchmarks/curriculum_parity.py)
+if os.environ.get("MGVAE_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["MGVAE_PLATFORM"])
+
 import numpy as np
 
 from config import get_parse_args
