@@ -239,9 +239,29 @@ def _forward(params, batch, cfg: DGConfig, rng, use_pallas, pallas_interpret):
             batch["edge_src"], batch["edge_dst"], batch["edge_valid"],
         )
     else:
-        s, t = direct_multigcn_apply(
-            params["struct"], x_feat, batch, cfg.s_rounds, cfg.t_rounds, cfg.layernorm,
-        )
+        s = t = None
+        if (use_pallas and cfg.s_rounds == cfg.t_rounds
+                and "fa_src" in batch and "deg_in" in batch
+                and batch["gate"].ndim == 1):
+            from ..ops.pallas.struct_kernel import (
+                struct_kernel_fits,
+                struct_towers_pallas,
+            )
+
+            eb = max(batch["fa_src"].shape[1], batch["ra_src"].shape[1])
+            if struct_kernel_fits(batch["gate"].shape[0], eb, D):
+                # fused tower kernel: whole 2*s_rounds half-round loop in one
+                # pallas_call with saved-residual backward (VERDICT r3 item 2)
+                s, t = struct_towers_pallas(
+                    params["struct"], x_feat, batch, cfg.s_rounds,
+                    cfg.layernorm, interpret=pallas_interpret,
+                    precision=cfg.matmul_precision,
+                )
+        if s is None:
+            s, t = direct_multigcn_apply(
+                params["struct"], x_feat, batch, cfg.s_rounds, cfg.t_rounds,
+                cfg.layernorm,
+            )
     aux = {}
     if cfg.variational:
         assert rng is not None, "variational forward needs an rng"
@@ -530,10 +550,11 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
     if kernel_fits(n_sub, pack_lv.shape[1], lv_nodes.shape[1], D):
         # VMEM-resident variant, differentiable (hand-written VJP)
         return pallas_level_scan(*args, n_sub, D, T, C, interpret, prec)
-    if C == 1 and pack.dtype == jnp.float32:
+    if C == 1:
         # giant single-graph batch: hf streamed through HBM, differentiable
-        # (the backward streams hf + the ghf cotangent chunkwise too);
-        # f32 only (DMA tiling assumes f32 lanes)
+        # (the backward streams hf + the ghf cotangent chunkwise too); bf16
+        # halves the DMA bytes exactly where DMA dominates (the ghf stream
+        # stays f32 for cotangent-accumulation precision)
         return pallas_level_scan_hbm(*args, n_sub, D, T, interpret, prec)
     # chunked but a chunk still exceeds VMEM: XLA scan fallback
     return _level_scan_fast(params, batch, cfg, hs, expert)

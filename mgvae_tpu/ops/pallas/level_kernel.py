@@ -875,7 +875,11 @@ def _level_kernel_hbm(
     i = pl.program_id(0)
     start = start_ref[0, i]
     smin = start_ref[1, i]
-    f32 = pack_ref.dtype
+    # dtype discipline mirrors _level_body: vdt is the VALUE dtype (f32, or
+    # bf16 in throughput mode — hf storage, DMA buffers, matmul operands);
+    # accumulation and the softmax/GRU nonlinearities stay f32 always
+    vdt = pack_ref.dtype
+    f32 = jnp.float32
 
     # n_chunk divides N exactly: every DMA moves one full buffer slot
     def dma_in(c, slot):
@@ -902,8 +906,8 @@ def _level_kernel_hbm(
             store_chunk(c)
 
     pack = pack_ref[0]
-    vhs = pack[:, :D]
-    score_static = pack[:, D : D + 1]
+    vhs = pack[:, :D].astype(f32)
+    score_static = pack[:, D : D + 1].astype(f32)
     e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)
     src = src_ref[0]
     dslot = dslot_ref[0]
@@ -939,19 +943,19 @@ def _level_kernel_hbm(
                         dma_in(nxt, 1 - slot).start()
                 dma_in(c, slot).wait()
                 cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
-                onehot = (src == cols).astype(f32)
+                onehot = (src == cols).astype(vdt)
                 acc_ref[:] += jnp.dot(onehot, chunk_v[slot], preferred_element_type=f32)[:, :D]
         return acc_ref[:]
 
     hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
 
-    kv = jnp.dot(hf_src, wkv_hf_ref[:], preferred_element_type=f32)
+    kv = jnp.dot(hf_src.astype(vdt), wkv_hf_ref[:], preferred_element_type=f32)
     eo_edge = [(e_edge == t).astype(f32) for t in range(T)]
     khf = _select(kv[:, : T * D], eo_edge, T, D)
     vhf = _select(kv[:, T * D :], eo_edge, T, D)
     wa = jnp.zeros((Ep, D), f32)
     for t in range(T):
-        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :]
+        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :].astype(f32)
     score = score_static + jnp.sum(khf * wa, axis=-1, keepdims=True)
     v = vhs + vhf
 
@@ -965,22 +969,25 @@ def _level_kernel_hbm(
     denom = jnp.sum(ex_s * inc_f, axis=0, keepdims=True) + 1e-16
     den_edge = jnp.sum(inc_f * denom, axis=1, keepdims=True)
     attn = ex_s / jnp.where(den_edge > 0, den_edge, 1.0)
-    msg = jax.lax.dot_general(inc_f, v * attn, dimension_numbers=_DN_T, preferred_element_type=f32)
+    inc_v = inc_f if vdt == f32 else inc.astype(vdt)
+    msg = jax.lax.dot_general(inc_v, (v * attn).astype(vdt),
+                              dimension_numbers=_DN_T, preferred_element_type=f32)
 
     e_n = e_n_ref[0]
     eo_n = [(e_n == t).astype(f32) for t in range(T)]
-    gi = _select(jnp.dot(msg, w_ih_ref[:], preferred_element_type=f32), eo_n, T, 3 * D)
+    gi = _select(jnp.dot(msg.astype(vdt), w_ih_ref[:], preferred_element_type=f32),
+                 eo_n, T, 3 * D)
     bi = jnp.zeros((Np, 3 * D), f32)
     bh = jnp.zeros((Np, 3 * D), f32)
     for t in range(T):
-        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :]
-        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :]
+        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :].astype(f32)
+        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :].astype(f32)
     gi = gi + bi
     r = jax.nn.sigmoid(gi[:, :D] + bh[:, :D])
     z = jax.nn.sigmoid(gi[:, D : 2 * D] + bh[:, D : 2 * D])
     nw = jnp.tanh(gi[:, 2 * D :] + r * bh[:, 2 * D :])
-    upd = (upd_ref[0] > 0).astype(f32)
-    h_new = (1.0 - z) * nw * upd
+    upd_b = upd_ref[0] > 0
+    h_new = (1.0 - z) * nw * upd_b.astype(f32)
 
     # scatter-add: read chunk, add contribution, write back
     nodes = nodes_ref[0]
@@ -991,10 +998,12 @@ def _level_kernel_hbm(
         def _():
             load_chunk(c)
             cols = jax.lax.broadcasted_iota(jnp.int32, (Np, n_chunk), 1) + c
-            onehot = (nodes == cols).astype(f32) * upd
-            chunk_v[:] += jax.lax.dot_general(
-                onehot, h_new_w, dimension_numbers=_DN_T, preferred_element_type=f32
+            onehot = ((nodes == cols) & upd_b).astype(vdt)
+            out = jax.lax.dot_general(
+                onehot, h_new_w.astype(vdt), dimension_numbers=_DN_T,
+                preferred_element_type=f32
             )
+            chunk_v[:] += out if vdt == f32 else out.astype(vdt)
             store_chunk(c)
 
 
@@ -1083,7 +1092,7 @@ def fused_level_scan_hbm_bwd(
             ),
             input_output_aliases={1: 6},
             scratch_shapes=[
-                pltpu.VMEM((2, n_chunk, DW), f32),   # hf chunks (double buffer)
+                pltpu.VMEM((2, n_chunk, DW), pack_lv.dtype),  # hf chunks (2-buf)
                 pltpu.VMEM((2, n_chunk, DW), f32),   # ghf chunks
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -1107,6 +1116,9 @@ def _level_bwd_kernel_hbm(
     start = start_ref[0, L - 1 - i]
     smin = start_ref[1, L - 1 - i]
     f32 = jnp.float32
+    # vdt: value dtype of the hf residual stream / matmul operands (bf16 in
+    # throughput mode); the ghf cotangent stream and all accumulators stay f32
+    vdt = pack_ref.dtype
     del ghf_in_ref  # aliased with ghf_hbm_ref; read/write through the output
 
     @pl.when(i == 0)
@@ -1118,8 +1130,8 @@ def _level_bwd_kernel_hbm(
         dwak_ref[:] = jnp.zeros_like(dwak_ref)
 
     pack = pack_ref[0]
-    vhs = pack[:, :D]
-    score_static = pack[:, D : D + 1]
+    vhs = pack[:, :D].astype(f32)
+    score_static = pack[:, D : D + 1].astype(f32)
     e_edge = pack[:, D + 1 : D + 2].astype(jnp.int32)
     src = src_ref[0]
     dslot = dslot_ref[0]
@@ -1160,20 +1172,20 @@ def _level_bwd_kernel_hbm(
                         dma_hf(nxt, 1 - slot).start()
                 dma_hf(c, slot).wait()
                 cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
-                onehot = (src == cols).astype(f32)
+                onehot = (src == cols).astype(vdt)
                 acc_ref[:] += jnp.dot(onehot, hf_buf[slot], preferred_element_type=f32)[:, :D]
         return acc_ref[:]
 
     hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
 
     # ---------- recompute forward intermediates ----------------------------
-    kv = jnp.dot(hf_src, wkv_hf_ref[:], preferred_element_type=f32)
+    kv = jnp.dot(hf_src.astype(vdt), wkv_hf_ref[:], preferred_element_type=f32)
     eo_edge = [(e_edge == t).astype(f32) for t in range(T)]
     khf = _select(kv[:, : T * D], eo_edge, T, D)
     vhf = _select(kv[:, T * D :], eo_edge, T, D)
     wa = jnp.zeros((Ep, D), f32)
     for t in range(T):
-        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :]
+        wa = wa + eo_edge[t] * wa_k_ref[t : t + 1, :].astype(f32)
     score = score_static + jnp.sum(khf * wa, axis=-1, keepdims=True)
     v = vhs + vhf
 
@@ -1187,15 +1199,18 @@ def _level_bwd_kernel_hbm(
     denom = jnp.sum(ex_s * inc_f, axis=0, keepdims=True) + 1e-16
     den_edge = jnp.sum(inc_f * denom, axis=1, keepdims=True)
     attn = ex_s / jnp.where(den_edge > 0, den_edge, 1.0)
-    msg = jax.lax.dot_general(inc_f, v * attn, dimension_numbers=_DN_T, preferred_element_type=f32)
+    inc_v = inc_f if vdt == f32 else inc.astype(vdt)
+    msg = jax.lax.dot_general(inc_v, (v * attn).astype(vdt),
+                              dimension_numbers=_DN_T, preferred_element_type=f32)
 
     eo_n = [(e_n == t).astype(f32) for t in range(T)]
-    gi = _select(jnp.dot(msg, w_ih_ref[:], preferred_element_type=f32), eo_n, T, 3 * D)
+    gi = _select(jnp.dot(msg.astype(vdt), w_ih_ref[:], preferred_element_type=f32),
+                 eo_n, T, 3 * D)
     bi = jnp.zeros((Np, 3 * D), f32)
     bh = jnp.zeros((Np, 3 * D), f32)
     for t in range(T):
-        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :]
-        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :]
+        bi = bi + eo_n[t] * b_ih_ref[t : t + 1, :].astype(f32)
+        bh = bh + eo_n[t] * b_hh_ref[t : t + 1, :].astype(f32)
     gi = gi + bi
     r = jax.nn.sigmoid(gi[:, :D] + bh[:, :D])
     z = jax.nn.sigmoid(gi[:, D : 2 * D] + bh[:, D : 2 * D])
@@ -1237,10 +1252,10 @@ def _level_bwd_kernel_hbm(
         dbih_ref[t : t + 1, :] += jnp.sum(m, axis=0, keepdims=True)
         dbhh_ref[t : t + 1, :] += jnp.sum(eo_n[t] * dbh, axis=0, keepdims=True)
         dmsg = dmsg + jax.lax.dot_general(
-            m, w_ih_ref[:, t * 3 * D : (t + 1) * 3 * D],
+            m.astype(vdt), w_ih_ref[:, t * 3 * D : (t + 1) * 3 * D],
             dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32)
 
-    per_edge = jnp.dot(inc_f, dmsg, preferred_element_type=f32)
+    per_edge = jnp.dot(inc_v, dmsg.astype(vdt), preferred_element_type=f32)
     dv = attn * per_edge
     dattn = jnp.sum(v * per_edge, axis=-1, keepdims=True)
     s_grp = jnp.sum((attn * dattn) * inc_f, axis=0, keepdims=True)
@@ -1257,11 +1272,12 @@ def _level_bwd_kernel_hbm(
     dwkv_ref[:] += jax.lax.dot_general(
         hf_src, dkv, dimension_numbers=_DN_T, preferred_element_type=f32)
     dhf_src = jax.lax.dot_general(
-        dkv, wkv_hf_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        dkv.astype(vdt), wkv_hf_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32)
 
-    zeros_rest = jnp.zeros((Ep, pack.shape[1] - D - 1), f32)
-    dpack_ref[0] = jnp.concatenate([dv, dscore, zeros_rest], axis=1)
+    zeros_rest = jnp.zeros((Ep, pack.shape[1] - D - 1), vdt)
+    dpack_ref[0] = jnp.concatenate(
+        [dv.astype(vdt), dscore.astype(vdt), zeros_rest], axis=1)
 
     # ---------- RMW scatter of dhf_src into the ghf source window ----------
     dhf_w = (
@@ -1328,7 +1344,10 @@ def _hbm_vjp_bwd(num_nodes, dim, num_experts, interpret, precision, res, ghf):
     (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
      wkv_hf, w_ih, b_ih, b_hh, wa_k, hf_pad) = res
     DW = hf_pad.shape[1]
-    ghf_pad = jnp.pad(ghf, ((0, 0), (0, DW - dim))) if DW > dim else ghf
+    # the ghf stream (and its RMW scatter accumulation) rides f32 even in
+    # bf16 throughput mode — cotangent accumulation precision
+    ghf_pad = (jnp.pad(ghf, ((0, 0), (0, DW - dim))) if DW > dim else ghf
+               ).astype(jnp.float32)
     d_pack, d_wkv, d_wih, d_bih, d_bhh, d_wak = fused_level_scan_hbm_bwd(
         ghf_pad, hf_pad,
         pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
@@ -1341,7 +1360,9 @@ def _hbm_vjp_bwd(num_nodes, dim, num_experts, interpret, precision, res, ghf):
     zint = lambda a: _np.zeros(a.shape, dtype=jax.dtypes.float0)
     return (d_pack, zint(lv_src), zint(lv_dslot), zint(lv_evalid),
             zint(lv_nodes), zint(lv_upd), zint(lv_e_n),
-            d_wkv, d_wih, d_bih, d_bhh, d_wak)
+            d_wkv.astype(wkv_hf.dtype), d_wih.astype(w_ih.dtype),
+            d_bih.astype(b_ih.dtype), d_bhh.astype(b_hh.dtype),
+            d_wak.astype(wa_k.dtype))
 
 
 pallas_level_scan_hbm.defvjp(_hbm_vjp_fwd, _hbm_vjp_bwd)

@@ -1,0 +1,498 @@
+"""Fused struct-encoder tower kernel (VERDICT r3 item 2).
+
+The struct encoder (models/encoder.py, rebuilding the reference's
+DirectMultiGCNEncoder, DG_VAE/deepgate/digae_layer.py:232-297) runs
+2*num_rounds half-rounds of [neighbor sum -> AggConv linear -> GRU -> LN]
+on the stacked [2, N, D] source/target state. On XLA that is ~12 serialized
+HLOs per half-round whose total matmul work is tiny (~30 us at bs16/D=64)
+— the 0.5 ms forward and ~2x backward are dispatch/fusion overhead, the
+largest un-kernelized slice of the train step after round 3.
+
+This kernel collapses the WHOLE tower loop into one pallas_call:
+
+  * grid=(2*num_rounds,): one half-round per step, direction = i % 2
+    (forward edges, then reversed — digae_layer.py:239 enable_reverse).
+    state [2, N, D] is a VMEM-resident revisited output block; direction-
+    dependent inputs (tables, XI, folded weights) are dir-BLOCKED — their
+    BlockSpec index_map selects block i % 2, so the kernel never needs a
+    dynamic VMEM ref index.
+  * the neighbor sum is the same blocked one-hot MXU trick as the XLA path
+    (batching fa_*/ra_* tables), with DAG-triangular source windows: node
+    ids are level-major, so forward-edge sources of dst block b live below
+    128(b+1) and reverse-edge sources above 128b — per-block [smin, smax)
+    windows (SMEM) skip the rest exactly.
+  * AggConv is FOLDED into the GRU input matmul: gi = msg @ w_ihD + xi with
+    msg = nbr @ w_aggr + deg*b_aggr  ==>  gi = nbr @ (w_aggr @ w_ihD) + XI,
+    XI = x_feat @ w_ihX + b_ih + deg * (b_aggr @ w_ihD). The fold and XI
+    are built with plain jnp OUTSIDE the custom-VJP core
+    (struct_towers_pallas), so autodiff recovers d w_aggr / d b_aggr /
+    d w_ih / d b_ih from d W_fold / d XI.
+  * training streams per-half-round residuals
+    [nbr | state_in | r | z | nw | gh_n | pre-LN h] to HBM; the backward
+    kernel (reverse grid) reads them and does NO forward recompute. The
+    A^T scatter in the backward rides the OPPOSITE direction's tables
+    (fa/ra encode each other's transpose).
+
+Towers are independent (source/target, stacked axis) but share the tables;
+both run per grid step. The shared-LayerNorm quirk (one LN instance per
+tower across both halves, digae_layer.py:254,269-275) is preserved: a
+single [2, D] gamma/beta accumulating grads over every half-round.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .level_kernel import _DN_T, _pick_chunk, _prec_ctx, _round_up, LANE
+
+BLOCK_D = 128  # dst-block width of the fa/ra tables (batching.BLOCK_D)
+
+
+def struct_kernel_fits(n: int, eb: int, dim: int) -> bool:
+    """VMEM gate: state + nbr scratch + residual blocks + the [Eb, chunk]
+    one-hot blocks. bs16-class batches (N<=8k) fit comfortably; chunked /
+    giant batches keep the XLA path (the struct tower is whole-graph —
+    chunking doesn't apply)."""
+    return n <= 8192 and eb <= 2048 and dim <= 128
+
+
+def _ln_fwd(x, w, b, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _blocked_matvec(out_ref, vec_ref_read, tbl_ref, win_ref, win_row, N, D,
+                    Eb, nb, n_chunk, dtype, accumulate):
+    """out[slots of block b] (+)= one-hot scatter of gathered vec rows:
+    the blocked-CSR A @ vec (or A^T @ vec with the opposite tables).
+    vec_ref_read(c, ch) -> [ch, D] supplies source rows."""
+    f32 = jnp.float32
+    for b in range(nb):
+        tbl = tbl_ref[0, b]                      # [Eb, 4]
+        src = tbl[:, 0:1]
+        slot = tbl[:, 1:2]
+        valid = tbl[:, 2:3] > 0
+        lo = win_ref[win_row, b]
+        hi = win_ref[win_row + 1, b]
+
+        def msgs_scoped(acc_ref):
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            for c in range(0, N, n_chunk):
+                ch = min(n_chunk, N - c)
+
+                @pl.when((c < hi) & (c + ch > lo))
+                def _(c=c, ch=ch):
+                    cols = jax.lax.broadcasted_iota(jnp.int32, (Eb, ch), 1) + c
+                    onehot = (src == cols).astype(dtype)
+                    acc_ref[:] += jnp.dot(onehot, vec_ref_read(c, ch),
+                                          preferred_element_type=f32)
+            return acc_ref[:]
+
+        msgs = pl.run_scoped(msgs_scoped, pltpu.VMEM((Eb, D), f32))
+        slots = jax.lax.broadcasted_iota(jnp.int32, (Eb, BLOCK_D), 1)
+        onehot_s = ((slot == slots) & valid).astype(dtype)
+        agg = jax.lax.dot_general(onehot_s, msgs.astype(dtype),
+                                  dimension_numbers=_DN_T,
+                                  preferred_element_type=f32)
+        if accumulate:
+            out_ref[pl.ds(b * BLOCK_D, BLOCK_D), :] += agg
+        else:
+            out_ref[pl.ds(b * BLOCK_D, BLOCK_D), :] = agg
+
+
+def _struct_kernel(
+    win_ref,      # SMEM [4, nb]: rows (2*dir, 2*dir+1) = smin, smax
+    tbl_ref,      # [1, nb, Eb, 4] i32 (dir-blocked): src | slot | valid | pad
+    xi_ref,       # [1, 2, N, 3D] (dir-blocked): tower-stacked XI
+    wfold_ref,    # [1, 2, D, 3D] (dir-blocked)
+    whh_ref,      # [1, 2, D, 3D] (dir-blocked)
+    bhh_ref,      # [1, 2, 1, 3D] (dir-blocked)
+    lnw_ref,      # [2, 1, D]
+    lnb_ref,      # [2, 1, D]
+    state_ref,    # out [2, N, D] (revisited accumulator)
+    res_ref=None,  # out [1, 2, N, RW] per grid step (training)
+    *, N, D, nb, Eb, n_chunk, layernorm, RW,
+):
+    i = pl.program_id(0)
+    dirs = i % 2
+
+    @pl.when(i == 0)
+    def _():
+        state_ref[:] = jnp.ones_like(state_ref)
+
+    f32 = jnp.float32
+    vdt = state_ref.dtype
+    for t in range(2):
+        state = state_ref[t].astype(f32)             # [N, D]
+
+        # ---- blocked neighbor sum (one-hot MXU, triangular windows) -------
+        def body_nbr(nbr_ref):
+            _blocked_matvec(
+                nbr_ref, lambda c, ch: state_ref[t, pl.ds(c, ch), :],
+                tbl_ref, win_ref, 2 * dirs, N, D, Eb, nb, n_chunk, vdt,
+                accumulate=False)
+            return nbr_ref[:]
+
+        nbr = pl.run_scoped(body_nbr, pltpu.VMEM((N, D), f32))
+
+        # ---- GRU (AggConv folded into gi) ---------------------------------
+        gi = jnp.dot(nbr.astype(vdt), wfold_ref[0, t],
+                     preferred_element_type=f32) + xi_ref[0, t].astype(f32)
+        gh = jnp.dot(state.astype(vdt), whh_ref[0, t],
+                     preferred_element_type=f32) + bhh_ref[0, t].astype(f32)
+        r = jax.nn.sigmoid(gi[:, :D] + gh[:, :D])
+        z = jax.nn.sigmoid(gi[:, D:2 * D] + gh[:, D:2 * D])
+        gh_n = gh[:, 2 * D:]
+        nw = jnp.tanh(gi[:, 2 * D:] + r * gh_n)
+        h = (1.0 - z) * nw + z * state              # pre-LN
+
+        if res_ref is not None:
+            parts = [nbr, state, r, z, nw, gh_n, h]
+            if RW > 7 * D:
+                parts.append(jnp.zeros((N, RW - 7 * D), f32))
+            res_ref[0, t] = jnp.concatenate(parts, axis=1).astype(res_ref.dtype)
+
+        if layernorm:
+            h = _ln_fwd(h, lnw_ref[t].astype(f32), lnb_ref[t].astype(f32))
+        state_ref[t] = h.astype(vdt)
+
+
+def _windows(tbl_src, tbl_valid, N):
+    """[4, nb] i32: per-(dir, block) [smin, smax) over valid sources."""
+    v = tbl_valid > 0
+    smin = jnp.min(jnp.where(v, tbl_src, N), axis=2).astype(jnp.int32)   # [2, nb]
+    smax = (jnp.max(jnp.where(v, tbl_src, -1), axis=2) + 1).astype(jnp.int32)
+    return jnp.stack([smin[0], smax[0], smin[1], smax[1]])
+
+
+def fused_struct_towers(
+    xi, wfold, w_hh, b_hh, ln_w, ln_b, tbl, num_rounds,
+    *, layernorm: bool, interpret: bool = False, with_residuals: bool = False,
+    precision: str | None = None,
+):
+    """Run 2*num_rounds half-rounds; returns state [2, N, D] (and res
+    [2R, 2, N, RW] when training). Layouts (dir = 0 fwd / 1 reverse):
+    xi [2(dir), 2(tower), N, 3D], wfold/w_hh [2, 2, D, 3D],
+    b_hh [2, 2, 1, 3D], ln_w/ln_b [2(tower), 1, D],
+    tbl [2(dir), nb, Eb, 4] i32."""
+    _, _, N, D3 = xi.shape
+    D = D3 // 3
+    _, nb, Eb, _ = tbl.shape
+    R2 = 2 * num_rounds
+    win = _windows(tbl[..., 0], tbl[..., 2], N)
+    n_chunk = _pick_chunk(Eb, N)
+    RW = _round_up(7 * D, LANE)
+    kernel = functools.partial(
+        _struct_kernel, N=N, D=D, nb=nb, Eb=Eb, n_chunk=n_chunk,
+        layernorm=layernorm, RW=RW,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dirblk = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i % 2,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((2, N, D), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    state_shape = jax.ShapeDtypeStruct((2, N, D), xi.dtype)
+    if with_residuals:
+        out_specs = (state_spec,
+                     pl.BlockSpec((1, 2, N, RW), lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (state_shape, jax.ShapeDtypeStruct((R2, 2, N, RW), xi.dtype))
+    else:
+        out_specs, out_shape = state_spec, state_shape
+    with _prec_ctx(precision):
+        return pl.pallas_call(
+            kernel,
+            grid=(R2,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                dirblk((nb, Eb, 4)),
+                dirblk((2, N, 3 * D)),
+                dirblk((2, D, 3 * D)),
+                dirblk((2, D, 3 * D)),
+                dirblk((2, 1, 3 * D)),
+                full, full,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(win, tbl, xi, wfold, w_hh, b_hh, ln_w, ln_b)
+
+
+# ===========================================================================
+# Backward kernel
+# ===========================================================================
+
+def _struct_bwd_kernel(
+    win_ref,         # SMEM [4, nb]
+    dstate_in_ref,   # [2, N, D] output cotangent (seeds the carry)
+    res_ref,         # [1, 2, N, RW] (reverse-blocked)
+    tbl_od_ref,      # [1, nb, Eb, 4] OPPOSITE direction's tables (A^T)
+    wfold_ref,       # [1, 2, D, 3D] (this step's dir)
+    whh_ref,         # [1, 2, D, 3D]
+    lnw_ref,         # [2, 1, D]
+    dxi_ref,         # out [2, 2, N, 3D] accumulator (dir, tower)
+    dwfold_ref,      # out [2, 2, D, 3D]
+    dwhh_ref,        # out [2, 2, D, 3D]
+    dbhh_ref,        # out [2, 2, 1, 3D]
+    dlnw_ref,        # out [2, 1, D]
+    dlnb_ref,        # out [2, 1, D]
+    dstate_ref,      # out [2, N, D] carry
+    *, N, D, nb, Eb, n_chunk, layernorm, R2,
+):
+    i = pl.program_id(0)
+    step = R2 - 1 - i
+    dirs = step % 2
+    od_row = 2 * (1 - dirs)
+    f32 = jnp.float32
+
+    @pl.when(i == 0)
+    def _():
+        dxi_ref[:] = jnp.zeros_like(dxi_ref)
+        dwfold_ref[:] = jnp.zeros_like(dwfold_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
+        dlnw_ref[:] = jnp.zeros_like(dlnw_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+        dstate_ref[:] = dstate_in_ref[:]
+
+    for t in range(2):
+        res = res_ref[0, t]
+        nbr = res[:, :D].astype(f32)
+        state_in = res[:, D:2 * D].astype(f32)
+        r = res[:, 2 * D:3 * D].astype(f32)
+        z = res[:, 3 * D:4 * D].astype(f32)
+        nw = res[:, 4 * D:5 * D].astype(f32)
+        gh_n = res[:, 5 * D:6 * D].astype(f32)
+        preln = res[:, 6 * D:7 * D].astype(f32)
+        dh = dstate_ref[t].astype(f32)
+
+        if layernorm:
+            # y = xhat * w + b, xhat = (x - mu) * rstd; recompute the stats
+            w = lnw_ref[t].astype(f32)
+            mean = jnp.mean(preln, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(preln - mean), axis=-1, keepdims=True)
+            rstd = jax.lax.rsqrt(var + 1e-5)
+            xhat = (preln - mean) * rstd
+            dlnw_ref[t] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+            dlnb_ref[t] += jnp.sum(dh, axis=0, keepdims=True)
+            dxh = dh * w
+            dh = rstd * (
+                dxh - jnp.mean(dxh, axis=-1, keepdims=True)
+                - xhat * jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+            )
+
+        # h = (1-z)*nw + z*state_in
+        dz = dh * (state_in - nw)
+        dnw = dh * (1.0 - z)
+        dnu = dnw * (1.0 - nw * nw)
+        dr = dnu * gh_n
+        drho = dr * r * (1.0 - r)
+        dzeta = dz * z * (1.0 - z)
+        dgi = jnp.concatenate([drho, dzeta, dnu], axis=1)          # [N, 3D]
+        dgh = jnp.concatenate([drho, dzeta, dnu * r], axis=1)
+
+        # accumulators are (dir, tower)-indexed; dirs is data-dependent, so
+        # accumulate under a when-guard per static dir value
+        for dv in range(2):
+            @pl.when(dirs == dv)
+            def _(dv=dv):
+                dxi_ref[dv, t] += dgi.astype(dxi_ref.dtype)
+                dwfold_ref[dv, t] += jax.lax.dot_general(
+                    nbr, dgi, dimension_numbers=_DN_T, preferred_element_type=f32)
+                dwhh_ref[dv, t] += jax.lax.dot_general(
+                    state_in, dgh, dimension_numbers=_DN_T,
+                    preferred_element_type=f32)
+                dbhh_ref[dv, t] += jnp.sum(dgh, axis=0, keepdims=True)
+
+        # d state_in = dh*z + dgh @ whh^T + A^T @ dnbr; A^T rides the
+        # OPPOSITE direction's tables (fa/ra are each other's transpose)
+        def body_dsi(dsi_ref, dnbr_ref):
+            dnbr_ref[:] = jax.lax.dot_general(
+                dgi, wfold_ref[0, t],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            dsi_ref[:] = dh * z + jax.lax.dot_general(
+                dgh, whh_ref[0, t],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            _blocked_matvec(
+                dsi_ref, lambda c, ch: dnbr_ref[pl.ds(c, ch), :],
+                tbl_od_ref, win_ref, od_row, N, D, Eb, nb, n_chunk, f32,
+                accumulate=True)
+            return dsi_ref[:]
+
+        dsi = pl.run_scoped(body_dsi, pltpu.VMEM((N, D), f32),
+                            pltpu.VMEM((N, D), f32))
+        dstate_ref[t] = dsi.astype(dstate_ref.dtype)
+
+
+def fused_struct_towers_bwd(
+    dstate, res, wfold, w_hh, ln_w, tbl, num_rounds,
+    *, layernorm: bool, interpret: bool = False, precision: str | None = None,
+):
+    """Reverse sweep over saved residuals. Returns
+    (dxi, dwfold, dwhh, dbhh, dlnw, dlnb) in the forward layouts."""
+    _, N, D = dstate.shape
+    _, nb, Eb, _ = tbl.shape
+    R2 = 2 * num_rounds
+    RW = res.shape[-1]
+    win = _windows(tbl[..., 0], tbl[..., 2], N)
+    n_chunk = _pick_chunk(Eb, N)
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _struct_bwd_kernel, N=N, D=D, nb=nb, Eb=Eb, n_chunk=n_chunk,
+        layernorm=layernorm, R2=R2,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    # this step's dir for weights, OPPOSITE dir for the A^T tables
+    dirblk = lambda shape, flip: pl.BlockSpec(
+        (1,) + shape,
+        (lambda i: (1 - (R2 - 1 - i) % 2,) + (0,) * len(shape)) if flip
+        else (lambda i: ((R2 - 1 - i) % 2,) + (0,) * len(shape)),
+        memory_space=pltpu.VMEM)
+    with _prec_ctx(precision):
+        out = pl.pallas_call(
+            kernel,
+            grid=(R2,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                full,                                   # dstate_in
+                pl.BlockSpec((1, 2, N, RW), lambda i: (R2 - 1 - i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                dirblk((nb, Eb, 4), flip=True),
+                dirblk((2, D, 3 * D), flip=False),
+                dirblk((2, D, 3 * D), flip=False),
+                full,                                   # lnw
+            ],
+            out_specs=(
+                acc((2, 2, N, 3 * D)),
+                acc((2, 2, D, 3 * D)),
+                acc((2, 2, D, 3 * D)),
+                acc((2, 2, 1, 3 * D)),
+                acc((2, 1, D)),
+                acc((2, 1, D)),
+                acc((2, N, D)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((2, 2, N, 3 * D), f32),
+                jax.ShapeDtypeStruct((2, 2, D, 3 * D), f32),
+                jax.ShapeDtypeStruct((2, 2, D, 3 * D), f32),
+                jax.ShapeDtypeStruct((2, 2, 1, 3 * D), f32),
+                jax.ShapeDtypeStruct((2, 1, D), f32),
+                jax.ShapeDtypeStruct((2, 1, D), f32),
+                jax.ShapeDtypeStruct((2, N, D), dstate.dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(win, dstate, res, tbl, wfold, w_hh, ln_w)
+    return out[:6]
+
+
+# ===========================================================================
+# custom VJP core + jnp folding wrapper
+# ===========================================================================
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def pallas_struct_core(
+    xi, wfold, w_hh, b_hh, ln_w, ln_b, tbl,
+    num_rounds, layernorm, interpret, precision=None,
+):
+    return fused_struct_towers(
+        xi, wfold, w_hh, b_hh, ln_w, ln_b, tbl, num_rounds,
+        layernorm=layernorm, interpret=interpret, precision=precision,
+    )
+
+
+def _core_fwd(xi, wfold, w_hh, b_hh, ln_w, ln_b, tbl,
+              num_rounds, layernorm, interpret, precision=None):
+    state, res = fused_struct_towers(
+        xi, wfold, w_hh, b_hh, ln_w, ln_b, tbl, num_rounds,
+        layernorm=layernorm, interpret=interpret, with_residuals=True,
+        precision=precision,
+    )
+    # b_hh / ln_b enter the backward only through their dtypes (0-size tokens)
+    return state, (res, wfold, w_hh, b_hh[..., :0], ln_w, ln_b[..., :0], tbl)
+
+
+def _core_bwd(num_rounds, layernorm, interpret, precision, saved, dstate):
+    res, wfold, w_hh, b_hh_tok, ln_w, ln_b_tok, tbl = saved
+    dxi, dwfold, dwhh, dbhh, dlnw, dlnb = fused_struct_towers_bwd(
+        dstate, res, wfold, w_hh, ln_w, tbl, num_rounds,
+        layernorm=layernorm, interpret=interpret, precision=precision,
+    )
+    import numpy as _np
+
+    zint = _np.zeros(tbl.shape, dtype=jax.dtypes.float0)
+    return (dxi.astype(res.dtype), dwfold.astype(wfold.dtype),
+            dwhh.astype(w_hh.dtype), dbhh.astype(b_hh_tok.dtype),
+            dlnw.astype(ln_w.dtype), dlnb.astype(ln_b_tok.dtype), zint)
+
+
+pallas_struct_core.defvjp(_core_fwd, _core_bwd)
+
+
+def struct_towers_pallas(params, x_feat, batch, num_rounds, layernorm,
+                         interpret=False, precision=None):
+    """Drop-in for models/encoder._multigcn_apply_stacked via the fused
+    kernel; returns (s, t) states. ``params`` is the encoder tree with
+    "source"/"target" towers. The AggConv fold + XI precompute here are
+    plain jnp, so autodiff recovers the unfolded parameter grads through
+    the custom-VJP core."""
+    st = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                      params["source"], params["target"])
+    D = st["aggr"]["w"].shape[-1]
+    deg = {0: batch["deg_in"].astype(x_feat.dtype),
+           1: batch["deg_out"].astype(x_feat.dtype)}
+    aggr = {0: st["aggr"], 1: st["aggr_r"]}
+    gru = {0: st["update"], 1: st["update_r"]}
+
+    xi, wfold, whh, bhh = [], [], [], []
+    for d in (0, 1):
+        w_ihD = gru[d]["w_ih"][:, :D]                      # [2, D, 3D]
+        w_ihX = gru[d]["w_ih"][:, D:]                      # [2, F, 3D]
+        wfold.append(jnp.einsum("tij,tjk->tik", aggr[d]["w"], w_ihD))
+        degb = deg[d][None, :, None] * aggr[d]["b"][:, None, :]     # [2, N, D]
+        xi.append(
+            jnp.einsum("nf,tfk->tnk", x_feat, w_ihX)
+            + gru[d]["b_ih"][:, None, :]
+            + jnp.einsum("tnj,tjk->tnk", degb, w_ihD)
+        )
+        whh.append(gru[d]["w_hh"])
+        bhh.append(gru[d]["b_hh"][:, None, :])
+    xi = jnp.stack(xi)        # [2(dir), 2(tower), N, 3D]
+    wfold = jnp.stack(wfold)  # [2, 2, D, 3D]
+    whh = jnp.stack(whh)
+    bhh = jnp.stack(bhh)      # [2, 2, 1, 3D]
+    if layernorm:
+        ln_w = st["ln"]["w"][:, None, :]
+        ln_b = st["ln"]["b"][:, None, :]
+    else:
+        ln_w = jnp.ones((2, 1, D), x_feat.dtype)
+        ln_b = jnp.zeros((2, 1, D), x_feat.dtype)
+
+    # fa/ra blocked tables can have different Eb (max in- vs out-edges per
+    # block) — pad to the common width with invalid rows (scatter-masked)
+    iv = lambda k: batch[k].astype(jnp.int32)
+    eb = max(batch["fa_src"].shape[1], batch["ra_src"].shape[1])
+    pad = lambda a: jnp.pad(a, ((0, 0), (0, eb - a.shape[1])))
+    tbl = jnp.stack([
+        jnp.stack([pad(iv("fa_src")), pad(iv("fa_slot")),
+                   pad(iv("fa_valid")), pad(iv("fa_valid"))], axis=-1),
+        jnp.stack([pad(iv("ra_src")), pad(iv("ra_slot")),
+                   pad(iv("ra_valid")), pad(iv("ra_valid"))], axis=-1),
+    ])                                 # [2(dir), nb, Eb, 4]
+
+    state = pallas_struct_core(
+        xi, wfold, whh, bhh, ln_w, ln_b, tbl,
+        num_rounds, layernorm, interpret, precision,
+    )
+    return state[0], state[1]
