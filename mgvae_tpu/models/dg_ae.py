@@ -556,8 +556,48 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
         # halves the DMA bytes exactly where DMA dominates (the ghf stream
         # stays f32 for cotangent-accumulation precision)
         return pallas_level_scan_hbm(*args, n_sub, D, T, interpret, prec)
-    # chunked but a chunk still exceeds VMEM: XLA scan fallback
+    if step_kernel_fits(n_sub, pack_lv.shape[1], lv_nodes.shape[1], D):
+        # chunked but a chunk exceeds the fused kernel's VMEM gate: scan the
+        # single-level STEP kernel over the (chunk, level) rows — hf rides
+        # the scan carry (HBM between calls), so only one chunk's slice +
+        # one level's tables live in VMEM per call. Differentiable via the
+        # step kernel's custom VJP (scan stacks the residuals).
+        return _level_scan_step(args, lv_off, hs.shape[0], n_sub, D, T,
+                                interpret, prec)
+    # a single level exceeds even the step kernel: XLA scan fallback
     return _level_scan_fast(params, batch, cfg, hs, expert)
+
+
+def step_kernel_fits(n_sub: int, ep: int, np_: int, dim: int) -> bool:
+    """The step kernel holds one chunk's hf slice + one level's tables in
+    VMEM (no cross-level residence, no stacked residual blocks)."""
+    return n_sub <= 65536 and ep <= 2048 and np_ <= 2048 and dim <= 128
+
+
+def _level_scan_step(args, lv_off, n_total, n_sub, D, T, interpret, prec):
+    """lax.scan of pallas_level_step over the (chunk, level) table rows."""
+    from ..ops.pallas.level_kernel import pallas_level_step
+
+    (pack_lv, lv_src, lv_dslot, lv_evalid, lv_nodes, lv_upd, lv_e_n,
+     wkv_hf, w_ih, b_ih, b_hh, wa_k) = args
+
+    def body(hf, lv):
+        hf_c = jax.lax.dynamic_slice_in_dim(hf, lv["off"], n_sub, axis=0)
+        h_new = pallas_level_step(
+            hf_c, lv["pack"], lv["src"], lv["dslot"], lv["evalid"],
+            lv["nodes"], lv["upd"], lv["e_n"],
+            wkv_hf, w_ih, b_ih, b_hh, wa_k,
+            D, T, interpret, prec,
+        )
+        nodes_g = lv["nodes"] + lv["off"]
+        hf = hf.at[nodes_g].set(jnp.where(lv["upd"][:, None] > 0, h_new, 0.0))
+        return hf, None
+
+    lvs = dict(pack=pack_lv, src=lv_src, dslot=lv_dslot, evalid=lv_evalid,
+               nodes=lv_nodes, upd=lv_upd, e_n=lv_e_n, off=lv_off)
+    hf0 = jnp.zeros((n_total, D), pack_lv.dtype)
+    hf, _ = jax.lax.scan(body, hf0, lvs)
+    return hf
 
 
 def hs_decompose(params, hs):
