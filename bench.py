@@ -308,12 +308,41 @@ def bench_large_train(roundtrip, batch_graphs=64):
     # C=1 exceeds kernel_fits -> _auto_pallas falls to the HBM-streamed
     # kernel when its gate admits the dims, else the XLA scan
     t_one = timed(1)
+
+    # ---- shape-aware SPLIT batch (VERDICT r3 item 7): groups collated at
+    # their own dims, per-group forward, global losses -------------------
+    from mgvae_tpu.data.batching import collate_split, split_dims
+
+    G = batch_graphs // 16
+    shards = [make_dataset("mig", 7000 + i, n=batch_graphs) for i in range(SCAN_K_BIG)]
+    sdims = split_dims(shards, G)
+    # node_inv is host-side metadata sized by the ORIGINAL node count (it
+    # varies across shards and is never read on device) — drop before stacking
+    sbatches = [
+        {k: v for k, v in collate_split(s, G, dims=sdims).items() if k != "node_inv"}
+        for s in shards
+    ]
+    sbatch_split = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                                *sbatches)
+    multi = make_multi_step(cfg, opt, None, donate=False)
+
+    def split_scan(params, state, opt_state, sbatch, rngs, weights):
+        _, _, _, ms = multi(params, state, opt_state, sbatch, rngs, weights)
+        return ms
+
+    ms = split_scan(params, state, opt_state, sbatch_split, rngs, weights)
+    assert np.isfinite(np.asarray(ms)).all(), "non-finite split-train metrics"
+    t_split = timed_scan(
+        split_scan, (params, state, opt_state, sbatch_split, rngs, weights),
+        SCAN_K_BIG, roundtrip,
+    )
     log(
         f"[bs{batch_graphs} train] chunked-kernel(C={C}) {t_krn * 1e3:.2f} ms "
         f"({batch_graphs / t_krn:.0f} g/s) vs unchunked-auto {t_one * 1e3:.2f} ms "
-        f"({batch_graphs / t_one:.0f} g/s) -> {t_one / t_krn:.2f}x"
+        f"({batch_graphs / t_one:.0f} g/s) -> {t_one / t_krn:.2f}x | "
+        f"split(G={G}) {t_split * 1e3:.2f} ms ({batch_graphs / t_split:.0f} g/s)"
     )
-    return batch_graphs / t_krn, batch_graphs / t_one, t_hi / t_def
+    return batch_graphs / t_krn, batch_graphs / t_one, t_hi / t_def, batch_graphs / t_split
 
 
 def bench_d128(roundtrip):
@@ -469,7 +498,7 @@ def main():
     res = {}
     for i, mod in enumerate(("aig", "mig", "xag", "xmg")):
         res[mod] = bench_modality(mod, seed=i, roundtrip=roundtrip)
-    big_kernel, big_xla, hi_cost = bench_large_train(roundtrip)
+    big_kernel, big_xla, hi_cost, big_split = bench_large_train(roundtrip)
     d128_ratio, d128_gps, d128_mfu, peak, kind = bench_d128(roundtrip)
     # headline metric unchanged from round 1 (aig+mig harmonic mean) so
     # rounds stay comparable in NAME; values are NOT comparable to r01
@@ -495,6 +524,7 @@ def main():
                     },
                     "bs64_train_gps_chunked_kernel": round(big_kernel, 1),
                     "bs64_train_gps_unchunked_auto": round(big_xla, 1),
+                    "bs64_train_gps_split": round(big_split, 1),
                     "highest_precision_train_cost_x": round(hi_cost, 3),
                     "d128_fwd_kernel_vs_xla_x": round(d128_ratio, 2),
                     "d128_train_gps": round(d128_gps, 1),

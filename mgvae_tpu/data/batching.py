@@ -1029,3 +1029,93 @@ def shard_levels_by_dst(batch: dict, mp: int) -> dict:
         mp_lv_node_valid=sq(nvalid_pad.reshape(B, L, mp, np_m)),
     )
     return out
+
+
+_SPLIT_FWD_DROP = {"tt_pair_a", "tt_pair_b", "tt_valid", "tt_dis", "prob",
+                   "node_perm", "node_inv", "graph_id"}
+
+
+def split_dims(shards: list[list[CircuitGraph]], num_groups: int) -> list[dict]:
+    """Per-group dims agreed across several shards (for stacked split
+    batches): the elementwise max of each shard's group-g natural dims."""
+    key = lambda g: (int(g.forward_level.max(initial=0)), g.num_edges, g.num_nodes)
+    per_group: list[list[dict]] = [[] for _ in range(num_groups)]
+    for graphs in shards:
+        order = sorted(range(len(graphs)), key=lambda i: key(graphs[i]))
+        for g, gi in enumerate(np.array_split(np.asarray(order), num_groups)):
+            per_group[g].append(natural_dims([graphs[i] for i in gi]))
+    return [{k: max(d[k] for d in ds) for k in ds[0]} for ds in per_group]
+
+
+def collate_split(graphs: list[CircuitGraph], num_groups: int,
+                  dims: list[dict] | None = None) -> dict:
+    """Shape-aware SPLIT batch (VERDICT r3 item 7): graphs sorted by shape
+    (levels, edges) and partitioned into ``num_groups`` equal-count groups,
+    each collated with its OWN bucketed dims — padded dims hug each group's
+    members instead of the whole batch's max. The forward runs per group
+    (models/dg_ae handles batches carrying "groups"); the LOSSES stay
+    global: this dict's top-level edge/tt/prob arrays are expressed in the
+    concatenated (group-offset) node order, so train/losses runs on it
+    unchanged and the result is semantically identical to one big batch.
+
+    Negative sampling maps uniform ids through chunk_counts/chunk_offsets
+    (per-group valid-node runs), never hitting interior padding.
+    """
+    key = lambda g: (int(g.forward_level.max(initial=0)), g.num_edges, g.num_nodes)
+    order = sorted(range(len(graphs)), key=lambda i: key(graphs[i]))
+    gidx = [list(a) for a in np.array_split(np.asarray(order), num_groups)]
+    gbs = [collate([graphs[i] for i in gi],
+                   dims=dims[g] if dims is not None else None)
+           for g, gi in enumerate(gidx)]
+
+    n_pad = [gb["gate"].shape[0] for gb in gbs]
+    offs = np.concatenate([[0], np.cumsum(n_pad)]).astype(np.int32)
+    goff = np.concatenate([[0], np.cumsum([len(gi) for gi in gidx])]).astype(np.int32)
+
+    def cat(k, off_by=None):
+        # node-id offsets keep padding entries in-range: each group's dump /
+        # fill ids land inside its own padded row range (masked by *_valid)
+        parts = []
+        for g, gb in enumerate(gbs):
+            a = np.asarray(gb[k])
+            if off_by == "node":
+                a = a + offs[g]
+            parts.append(a)
+        return np.concatenate(parts)
+
+    out = {
+        "gate": cat("gate"),
+        "node_valid": cat("node_valid"),
+        "forward_level": cat("forward_level"),
+        "prob": cat("prob"),
+        # edge/tt ids in concat-layout node order; padding entries point at
+        # each group's own dump row (offset keeps them in-range and invalid)
+        "edge_src": cat("edge_src", off_by="node"),
+        "edge_dst": cat("edge_dst", off_by="node"),
+        "edge_valid": cat("edge_valid"),
+        "tt_pair_a": cat("tt_pair_a", off_by="node"),
+        "tt_pair_b": cat("tt_pair_b", off_by="node"),
+        "tt_valid": cat("tt_valid"),
+        "tt_dis": cat("tt_dis"),
+        "n_nodes": np.int32(sum(int(gb["n_nodes"]) for gb in gbs)),
+        "n_edges": np.int32(sum(int(gb["n_edges"]) for gb in gbs)),
+        "n_tt": np.int32(sum(int(gb["n_tt"]) for gb in gbs)),
+        "n_graphs": np.int32(len(graphs)),
+        "chunk_counts": np.asarray([int(gb["n_nodes"]) for gb in gbs], np.int32),
+        "chunk_offsets": offs[:-1],
+    }
+    # global node_inv (original-input-order concat id -> split-layout id)
+    orig_off = np.concatenate([[0], np.cumsum([g.num_nodes for g in graphs])])
+    inv = np.zeros(int(orig_off[-1]), np.int32)
+    for g, gi in enumerate(gidx):
+        ginv = np.asarray(gbs[g]["node_inv"])
+        pos = 0
+        for i in gi:
+            n = graphs[i].num_nodes
+            inv[orig_off[i]:orig_off[i] + n] = ginv[pos:pos + n] + offs[g]
+            pos += n
+    out["node_inv"] = inv
+    out["groups"] = tuple(
+        {k: v for k, v in gb.items() if k not in _SPLIT_FWD_DROP} for gb in gbs
+    )
+    return out

@@ -216,7 +216,28 @@ def forward(params, batch, cfg: DGConfig, rng=None, use_pallas: bool = False,
     variant is forward-only).
     """
     with jax.default_matmul_precision(cfg.matmul_precision):
+        if "groups" in batch:
+            return _forward_split(params, batch, cfg, rng, use_pallas,
+                                  pallas_interpret)
         return _forward(params, batch, cfg, rng, use_pallas, pallas_interpret)
+
+
+def _forward_split(params, batch, cfg: DGConfig, rng, use_pallas, pallas_interpret):
+    """Shape-aware split batch (data/batching.collate_split): each group
+    runs the normal forward at its OWN padded dims (padding hugs the group's
+    members — the bs64 bucket-padding attack, VERDICT r3 item 7); hs/hf are
+    concatenated in the layout the batch's global loss arrays index."""
+    hs_l, hf_l, aux_l = [], [], []
+    for gi, gb in enumerate(batch["groups"]):
+        g_rng = jax.random.fold_in(rng, gi) if rng is not None else None
+        hs, hf, aux = _forward(params, gb, cfg, g_rng, use_pallas, pallas_interpret)
+        hs_l.append(hs)
+        hf_l.append(hf)
+        aux_l.append(aux)
+    aux = {}
+    if aux_l and aux_l[0]:
+        aux = {k: jnp.concatenate([a[k] for a in aux_l]) for k in aux_l[0]}
+    return jnp.concatenate(hs_l), jnp.concatenate(hf_l), aux
 
 
 def _forward(params, batch, cfg: DGConfig, rng, use_pallas, pallas_interpret):

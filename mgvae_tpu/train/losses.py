@@ -85,12 +85,15 @@ def sample_negative_edges(rng, num_samples: int, batch):
     dst = (src + 1 + off) % n.astype(jnp.int32)
     counts = batch.get("chunk_counts")
     if counts is not None and counts.shape[0] > 1:
-        n_sub = batch["gate"].shape[0] // counts.shape[0]
         cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+        offsets = batch.get("chunk_offsets")  # heterogeneous runs (collate_split)
+        if offsets is None:
+            n_sub = batch["gate"].shape[0] // counts.shape[0]
+            offsets = n_sub * jnp.arange(counts.shape[0], dtype=jnp.int32)
 
         def to_global(u):
             k = jnp.searchsorted(cum, u, side="right") - 1
-            return (k * n_sub + u - cum[k]).astype(jnp.int32)
+            return (offsets[k] + u - cum[k]).astype(jnp.int32)
 
         src, dst = to_global(src), to_global(dst)
     return src, dst

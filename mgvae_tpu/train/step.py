@@ -62,6 +62,11 @@ def _auto_pallas(batch, cfg: DGConfig) -> bool:
         return False
     from ..ops.pallas.level_kernel import kernel_fits, kernel_fits_hbm_bwd
 
+    if "groups" in batch:
+        # split batch (collate_split): groups are collated at bs16-class
+        # dims by construction; per-group fallbacks inside
+        # _level_scan_pallas handle any group that still doesn't fit
+        return True
     lv = batch["lv_nodes"]
     num_chunks = lv.shape[0] if lv.ndim == 3 else 1
     n_sub = batch["gate"].shape[0] // num_chunks
