@@ -105,6 +105,22 @@ def gather_rows_t(x, idx, tbls):
     return linear_call(f, ft, None, x)
 
 
+def check_gather_transpose(x, idx, tbls, valid):
+    """Debug/test helper for NEW gather_rows_t call sites (ADVICE r3): the
+    eid tables cover only VALID slots, so the linear_call transpose is the
+    exact adjoint ONLY when the consumer masks invalid entries. This
+    compares both adjoints under a random cotangent masked by ``valid`` and
+    returns the max abs difference (0.0 when the contract holds). Call it
+    from a test whenever a new site starts feeding gather_rows_t."""
+    key = jax.random.PRNGKey(0)
+    cot = jax.random.normal(key, idx.shape + x.shape[1:], x.dtype)
+    cot = jnp.where(jnp.reshape(valid, valid.shape + (1,) * (cot.ndim - valid.ndim)),
+                    cot, 0.0)
+    _, vjp_t = jax.vjp(lambda xx: gather_rows_t(xx, idx, tbls), x)
+    _, vjp_p = jax.vjp(lambda xx: xx[idx], x)
+    return float(jnp.abs(vjp_t(cot)[0] - vjp_p(cot)[0]).max())
+
+
 def _neighbor_sum(state, batch, reverse: bool):
     n = state.shape[0]
     if "fa_src" in batch and "ra_src" in batch:

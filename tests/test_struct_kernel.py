@@ -70,3 +70,25 @@ def test_forward_use_pallas_engages_struct_kernel():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(hf1)[:n], np.asarray(hf0)[:n],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_check_gather_transpose_helper():
+    """The ADVICE-r3 debug helper: the three live gather_rows_t sites'
+    tables give an EXACT adjoint for masked cotangents (and the helper
+    detects it)."""
+    from mgvae_tpu.models.encoder import check_gather_transpose
+
+    batch = _batch(n_graphs=3, seed=7)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch["gate"].shape[0], 16))
+    # hs[edge_src] site: ra tables group gather slots by source
+    d = check_gather_transpose(
+        x, batch["edge_src"],
+        (batch["ra_eid"], batch["ra_slot"], batch["ra_valid"]),
+        batch["edge_valid"])
+    assert d == 0.0, d
+    # aq_n[edge_dst] site: fa tables group by destination
+    d = check_gather_transpose(
+        x, batch["edge_dst"],
+        (batch["fa_eid"], batch["fa_slot"], batch["fa_valid"]),
+        batch["edge_valid"])
+    assert d == 0.0, d
