@@ -571,7 +571,9 @@ def _level_scan_pallas(params, batch, cfg: DGConfig, hs, expert, interpret=False
     if kernel_fits(n_sub, pack_lv.shape[1], lv_nodes.shape[1], D):
         # VMEM-resident variant, differentiable (hand-written VJP)
         return pallas_level_scan(*args, n_sub, D, T, C, interpret, prec)
-    if C == 1:
+    from ..ops.pallas.level_kernel import kernel_fits_hbm
+
+    if C == 1 and kernel_fits_hbm(n_sub, pack_lv.shape[1], lv_nodes.shape[1], D):
         # giant single-graph batch: hf streamed through HBM, differentiable
         # (the backward streams hf + the ghf cotangent chunkwise too); bf16
         # halves the DMA bytes exactly where DMA dominates (the ghf stream
