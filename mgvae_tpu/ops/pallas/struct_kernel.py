@@ -77,8 +77,8 @@ def _blocked_matvec(out_ref, vec_ref_read, tbl_ref, win_ref, win_row, N, D,
         src = tbl[:, 0:1]
         slot = tbl[:, 1:2]
         valid = tbl[:, 2:3] > 0
-        lo = win_ref[win_row, b]
-        hi = win_ref[win_row + 1, b]
+        lo = win_ref[b, win_row]
+        hi = win_ref[b, win_row + 1]
 
         def msgs_scoped(acc_ref):
             acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -106,7 +106,7 @@ def _blocked_matvec(out_ref, vec_ref_read, tbl_ref, win_ref, win_row, N, D,
 
 
 def _struct_kernel(
-    win_ref,      # SMEM [4, nb]: rows (2*dir, 2*dir+1) = smin, smax
+    win_ref,      # SMEM [nb, 4]: cols (2*dir, 2*dir+1) = smin, smax
     tbl_ref,      # [1, nb, Eb, 4] i32 (dir-blocked): src | slot | valid | pad
     xi_ref,       # [1, 2, N, 3D] (dir-blocked): tower-stacked XI
     wfold_ref,    # [1, 2, D, 3D] (dir-blocked)
@@ -163,11 +163,13 @@ def _struct_kernel(
 
 
 def _windows(tbl_src, tbl_valid, N):
-    """[4, nb] i32: per-(dir, block) [smin, smax) over valid sources."""
+    """[nb, 4] i32: per-(block, dir) [smin, smax) over valid sources.
+    Block-major layout so every SMEM read is ref[python_int, traced_int] —
+    the access pattern the level kernel already proves on Mosaic."""
     v = tbl_valid > 0
     smin = jnp.min(jnp.where(v, tbl_src, N), axis=2).astype(jnp.int32)   # [2, nb]
     smax = (jnp.max(jnp.where(v, tbl_src, -1), axis=2) + 1).astype(jnp.int32)
-    return jnp.stack([smin[0], smax[0], smin[1], smax[1]])
+    return jnp.stack([smin[0], smax[0], smin[1], smax[1]], axis=1)
 
 
 def fused_struct_towers(
@@ -230,7 +232,7 @@ def fused_struct_towers(
 # ===========================================================================
 
 def _struct_bwd_kernel(
-    win_ref,         # SMEM [4, nb]
+    win_ref,         # SMEM [nb, 4]
     dstate_in_ref,   # [2, N, D] output cotangent (seeds the carry)
     res_ref,         # [1, 2, N, RW] (reverse-blocked)
     tbl_od_ref,      # [1, nb, Eb, 4] OPPOSITE direction's tables (A^T)
