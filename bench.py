@@ -168,7 +168,9 @@ def bench_modality(modality, seed, roundtrip):
             n = int(batch["n_nodes"])
             dmax = float(jnp.abs(hf_x[:n] - hf_p[:n]).max())
             log(f"[{modality}] pallas-vs-xla max |hf| diff (highest precision): {dmax:.2e}")
-            assert dmax < 1e-5
+            # 5e-5: the kernel path now spans BOTH the fused struct towers
+            # (round 4) and the level kernel — two reassociation boundaries
+            assert dmax < 5e-5
 
     def scan_fwd(params, sbatch):
         def body(acc, b):
