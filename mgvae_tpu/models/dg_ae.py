@@ -261,7 +261,17 @@ def _forward(params, batch, cfg: DGConfig, rng, use_pallas, pallas_interpret):
         )
     else:
         s = t = None
-        if (use_pallas and cfg.s_rounds == cfg.t_rounds
+        # HARDWARE GATE: the fused struct kernel fails on-chip parity
+        # (|s| ~2.7e-2 vs XLA at highest precision, tmp/r4_onchip/
+        # struct_parity.log) while interpret mode matches — a Mosaic-
+        # specific bug under investigation. Until fixed, hardware engages
+        # it only via MGVAE_STRUCT_KERNEL=1; interpret mode (tests) always
+        # may.
+        import os as _os
+
+        _struct_hw_ok = pallas_interpret or _os.environ.get(
+            "MGVAE_STRUCT_KERNEL") == "1"
+        if (use_pallas and _struct_hw_ok and cfg.s_rounds == cfg.t_rounds
                 and "fa_src" in batch and "deg_in" in batch
                 and batch["gate"].ndim == 1):
             from ..ops.pallas.struct_kernel import (
