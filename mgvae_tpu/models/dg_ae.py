@@ -261,12 +261,18 @@ def _forward(params, batch, cfg: DGConfig, rng, use_pallas, pallas_interpret):
         )
     else:
         s = t = None
-        # HARDWARE GATE: the fused struct kernel fails on-chip parity
-        # (|s| ~2.7e-2 vs XLA at highest precision, tmp/r4_onchip/
-        # struct_parity.log) while interpret mode matches — a Mosaic-
-        # specific bug under investigation. Until fixed, hardware engages
-        # it only via MGVAE_STRUCT_KERNEL=1; interpret mode (tests) always
-        # may.
+        # HARDWARE GATE: the fused struct kernel is correct on-chip
+        # (|s| 8.8e-6 at highest precision once the fold/XI einsums run
+        # under the same precision context — tmp/r4_onchip/
+        # struct_parity2.log; the earlier "2.7e-2 parity failure" was the
+        # XLA reference running at default MXU precision) but measured
+        # SLOWER than the XLA struct towers on the real chip (fwd 1.30 vs
+        # 0.61 ms, fwd+bwd 2.95 vs 1.52 ms, full train step 0.98x): the
+        # 8 half-rounds x Np/128 block grid pays the same per-grid-step
+        # overhead floor as the level kernel but replaces dense stacked
+        # [N, 2D] einsums XLA already fuses well. Kept for interpret-mode
+        # coverage and future wide-D use; hardware engages it only via
+        # MGVAE_STRUCT_KERNEL=1.
         import os as _os
 
         _struct_hw_ok = pallas_interpret or _os.environ.get(

@@ -448,7 +448,22 @@ def struct_towers_pallas(params, x_feat, batch, num_rounds, layernorm,
     kernel; returns (s, t) states. ``params`` is the encoder tree with
     "source"/"target" towers. The AggConv fold + XI precompute here are
     plain jnp, so autodiff recovers the unfolded parameter grads through
-    the custom-VJP core."""
+    the custom-VJP core.
+
+    The fold/XI einsums run under _prec_ctx(precision) too: an xi built at
+    default MXU precision (~4e-3 bf16 rounding) feeds EVERY half-round and
+    the recurrence amplifies it to ~3e-2 by round 8 — callers comparing
+    against a highest-precision reference would misread that as a kernel
+    bug (it cost a round-4 on-chip debugging session; tmp/
+    exp_r4_struct_bisect.py pins the arithmetic). Under forward() this is
+    a harmless re-entry of the same context."""
+    with _prec_ctx(precision):
+        return _struct_towers_pallas(params, x_feat, batch, num_rounds,
+                                     layernorm, interpret, precision)
+
+
+def _struct_towers_pallas(params, x_feat, batch, num_rounds, layernorm,
+                          interpret, precision):
     st = jax.tree.map(lambda a, b: jnp.stack([a, b]),
                       params["source"], params["target"])
     D = st["aggr"]["w"].shape[-1]

@@ -129,3 +129,26 @@ for i in range(2 * NUM_ROUNDS):
             rq = ref_steps[i][t][nm][:nvalid]
             diffs.append(f"{nm} {np.abs(kq - rq).max():.1e}")
         print(f"step {i} dir {i % 2} tower {t}: " + "  ".join(diffs), flush=True)
+
+# ---- no-residual variant (the program the parity exp actually ran) ---------
+kstate2 = jax.jit(lambda *a: sk.fused_struct_towers(
+    *a, tbl, NUM_ROUNDS, layernorm=LAYERNORM, with_residuals=False,
+    precision="highest"))(*jargs)
+print(f"no-residual final |state| diff vs f64: "
+      f"{np.abs(np.asarray(kstate2) - ref_final).max():.3e}", flush=True)
+
+# ---- XLA encoder at DEFAULT precision vs f64 (the old exp's reference) -----
+from mgvae_tpu.models.encoder import direct_multigcn_apply
+xla_def = jax.jit(lambda p: direct_multigcn_apply(
+    p, jnp.asarray(x_feat), {k: jnp.asarray(v) for k, v in batch.items()},
+    NUM_ROUNDS, NUM_ROUNDS, LAYERNORM))(jax.tree.map(jnp.asarray, enc))
+sx = np.stack([np.asarray(xla_def[0]), np.asarray(xla_def[1])])
+print(f"XLA-default final |state| diff vs f64: "
+      f"{np.abs(sx - ref_final).max():.3e}", flush=True)
+with jax.default_matmul_precision("highest"):
+    xla_hi = jax.jit(lambda p: direct_multigcn_apply(
+        p, jnp.asarray(x_feat), {k: jnp.asarray(v) for k, v in batch.items()},
+        NUM_ROUNDS, NUM_ROUNDS, LAYERNORM))(jax.tree.map(jnp.asarray, enc))
+sxh = np.stack([np.asarray(xla_hi[0]), np.asarray(xla_hi[1])])
+print(f"XLA-highest final |state| diff vs f64: "
+      f"{np.abs(sxh - ref_final).max():.3e}", flush=True)
