@@ -58,6 +58,11 @@ def get_parse_args():
     parser.add_argument("--steps_per_call", type=int, default=8,
                         help="Optimizer steps scanned into one dispatched program "
                              "(amortizes per-dispatch latency; 1 = step-per-dispatch)")
+    parser.add_argument("--split", type=str, default="auto",
+                        help="Shape-aware split batches (collate_split): 'auto' "
+                             "engages on TPU when each shard yields >=2 kernel-"
+                             "sized groups, '0' disables, an integer forces that "
+                             "group count")
 
     args = parser.parse_args()
     return args

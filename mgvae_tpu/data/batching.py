@@ -552,6 +552,12 @@ class GroupStatsCache:
         self.fwd_all = c([g.forward_level for g in graphs], np.int32)
         self.esrc_all = c([g.edge_index[0] for g in graphs if g.num_edges], np.int64)
         self.edst_all = c([g.edge_index[1] for g in graphs if g.num_edges], np.int64)
+        # per-graph max forward level: the split-partition sort key
+        # (split_groups_by_shape) without touching the graphs again
+        if len(graphs) and self.fwd_all.size:
+            self.lmax = np.maximum.reduceat(self.fwd_all, self.node_off[:-1])
+        else:
+            self.lmax = np.zeros(len(graphs), np.int32)
 
     def group_dims(self, groups: list[np.ndarray], mp: int = 1) -> list[dict] | None:
         """shard_dims() for every group of graph ids in one native call, or
@@ -1035,16 +1041,51 @@ _SPLIT_FWD_DROP = {"tt_pair_a", "tt_pair_b", "tt_valid", "tt_dis", "prob",
                    "node_perm", "node_inv", "graph_id"}
 
 
+def split_groups_by_shape(lmax, edges, nodes, num_groups: int) -> list[np.ndarray]:
+    """The canonical shape-sort partition shared by collate_split,
+    split_dims, and the trainer's cached pre-scan: members sorted by
+    (max level, edge count, node count) with stable ties (np.lexsort ==
+    python sorted on the key tuple), then split into ``num_groups``
+    equal-count groups. Keeping this in ONE place guarantees the dims a
+    pre-scan computes are the dims collate_split will actually use."""
+    order = np.lexsort((np.asarray(nodes), np.asarray(edges), np.asarray(lmax)))
+    return [np.asarray(a) for a in np.array_split(order, num_groups)]
+
+
+def _split_partition(graphs: list[CircuitGraph], num_groups: int) -> list[np.ndarray]:
+    lmax = [int(g.forward_level.max(initial=0)) for g in graphs]
+    return split_groups_by_shape(lmax, [g.num_edges for g in graphs],
+                                 [g.num_nodes for g in graphs], num_groups)
+
+
 def split_dims(shards: list[list[CircuitGraph]], num_groups: int) -> list[dict]:
     """Per-group dims agreed across several shards (for stacked split
     batches): the elementwise max of each shard's group-g natural dims."""
-    key = lambda g: (int(g.forward_level.max(initial=0)), g.num_edges, g.num_nodes)
     per_group: list[list[dict]] = [[] for _ in range(num_groups)]
     for graphs in shards:
-        order = sorted(range(len(graphs)), key=lambda i: key(graphs[i]))
-        for g, gi in enumerate(np.array_split(np.asarray(order), num_groups)):
+        for g, gi in enumerate(_split_partition(graphs, num_groups)):
             per_group[g].append(natural_dims([graphs[i] for i in gi]))
     return [{k: max(d[k] for d in ds) for k in ds[0]} for ds in per_group]
+
+
+def stack_batches(batches: list[dict]) -> dict:
+    """np.stack structurally-identical batch dicts leaf-wise into a leading
+    axis (the collate_shards layout for batch kinds without a zero-copy
+    path). Split batches stack too: the ``groups`` tuple is stacked
+    per-group, per-key. Host-only keys that vary per member (node_inv)
+    must be dropped by the caller first."""
+    first = batches[0]
+    out = {}
+    for k, v in first.items():
+        if k == "groups":
+            out[k] = tuple(
+                {kk: np.stack([np.asarray(b["groups"][g][kk]) for b in batches])
+                 for kk in v[g]}
+                for g in range(len(v))
+            )
+        else:
+            out[k] = np.stack([np.asarray(b[k]) for b in batches])
+    return out
 
 
 def collate_split(graphs: list[CircuitGraph], num_groups: int,
@@ -1061,9 +1102,7 @@ def collate_split(graphs: list[CircuitGraph], num_groups: int,
     Negative sampling maps uniform ids through chunk_counts/chunk_offsets
     (per-group valid-node runs), never hitting interior padding.
     """
-    key = lambda g: (int(g.forward_level.max(initial=0)), g.num_edges, g.num_nodes)
-    order = sorted(range(len(graphs)), key=lambda i: key(graphs[i]))
-    gidx = [list(a) for a in np.array_split(np.asarray(order), num_groups)]
+    gidx = [list(a) for a in _split_partition(graphs, num_groups)]
     gbs = [collate([graphs[i] for i in gi],
                    dims=dims[g] if dims is not None else None)
            for g, gi in enumerate(gidx)]

@@ -24,7 +24,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.batching import collate, collate_chunked, collate_fit, collate_shards
+from ..data.batching import (
+    collate,
+    collate_chunked,
+    collate_fit,
+    collate_shards,
+    collate_split,
+    stack_batches,
+)
 from ..models.dg_ae import DGConfig, init_params
 from ..parallel.mesh import make_dp_mesh
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
@@ -57,6 +64,19 @@ def _fold_keys(key, start, k):
     return jax.vmap(lambda i: jax.random.fold_in(key, i))(start + jnp.arange(k))
 
 
+def _map_leaves(batch: dict, fn):
+    """Apply ``fn`` to every array leaf of a batch dict, descending into a
+    split batch's ``groups`` tuple (jax.tree.map would also touch python
+    scalars; batches are plain dicts of arrays plus that one tuple)."""
+    out = {}
+    for k, v in batch.items():
+        if k == "groups":
+            out[k] = tuple({kk: fn(vv) for kk, vv in gb.items()} for gb in v)
+        else:
+            out[k] = fn(v)
+    return out
+
+
 class Trainer:
     def __init__(
         self,
@@ -77,6 +97,7 @@ class Trainer:
         trace_dir: str | None = None,
         fixed_dims: bool = True,
         steps_per_call: int = 8,
+        split: int | str = "auto",
     ):
         self.args = args
         self.model_cfg = model_cfg
@@ -98,6 +119,16 @@ class Trainer:
         # VMEM gate are collated as C sub-batches (collate_chunked) so
         # training still rides the kernel's (chunk, level) grid.
         self._chunks: int | None = None
+        # shape-aware SPLIT batches (data/batching.collate_split): each
+        # shard is partitioned into G shape-sorted groups collated at their
+        # OWN dims (losses stay global). Measured +14% over chunked C=3 at
+        # bs64 on-chip (benchmarks/README.md round 4), so "auto" engages it
+        # whenever each shard yields >= 2 groups of the bs16 class the
+        # kernel was tuned at and every group passes the kernel VMEM gate.
+        # ``split``: "auto" | 0 (off) | G (forced group count, any backend).
+        self.split_arg = split
+        self._split: int | None = None      # resolved G (1 = off)
+        self._split_dims_max: list = []     # running per-group dims max
         # per-dataset stats cache for the fixed-dims epoch pre-scan
         # (data/batching.GroupStatsCache), keyed on dataset identity
         self._stats_caches: list = []  # [(dataset, GroupStatsCache)] strong refs
@@ -265,6 +296,12 @@ class Trainer:
 
     def _collate_step(self, dataset, idx, s, step_graphs, dims, C, multihost):
         chunk = [dataset[i] for i in idx[s * step_graphs : (s + 1) * step_graphs]]
+        if isinstance(dims, list):  # split mode: per-group dims
+            return self._collate_split_shards(
+                [chunk[d * self.batch_size : (d + 1) * self.batch_size]
+                 for d in range(self.num_devices)] if self.mesh is not None
+                else [chunk],
+                dims, stacked=self.mesh is not None)
         if self.mesh is not None:
             shards = [chunk[d * self.batch_size : (d + 1) * self.batch_size] for d in range(self.num_devices)]
             batch = collate_shards(shards, dims=dims, num_chunks=C)
@@ -279,6 +316,20 @@ class Trainer:
             return collate_chunked(chunk, C, dims=dims)
         return collate(chunk, dims=dims)
 
+    def _collate_split_shards(self, shards, dims: list, stacked: bool):
+        """collate_split each shard at the epoch's agreed per-group dims.
+        node_inv (host-side, sized by the ORIGINAL node count) varies per
+        shard and is never read on device — dropped before stacking.
+        No zero-copy C++ path yet: split batches np.stack leaf-wise."""
+        per = []
+        for s in shards:
+            b = collate_split(s, len(dims), dims=dims)
+            b.pop("node_inv", None)
+            per.append(b)
+        if not stacked:
+            return per[0]
+        return stack_batches(per)
+
     def _update_dims_max(self, dataset, idx, n_steps, step_graphs):
         """Grow the running dims max over this epoch's actual shards (cheap
         native stats pass per shard; falls back to dynamic shapes when the
@@ -286,7 +337,12 @@ class Trainer:
         chunking degree: the smallest C whose per-chunk dims fit the fused
         kernel's VMEM gate. Returns the dims to collate with, or None to
         keep per-batch natural dims."""
-        from ..data.batching import _partition_by_size, chunked_shard_dims
+        from ..data.batching import (
+            _partition_by_size,
+            chunked_shard_dims,
+            split_dims,
+            split_groups_by_shape,
+        )
 
         per = self.batch_size if self.mesh is not None else step_graphs
 
@@ -343,6 +399,104 @@ class Trainer:
                         print(f"[INFO] fixed-dims: collating each shard as {C} kernel-sized chunks")
                     return C
             return 1
+
+        def scan_split_dims(G, steps, use_idx=None):
+            """Per-group-position dims maxed over every (step, shard): the
+            split-mode analogue of scan_dims. Uses the cached native stats
+            pass when available; otherwise materializes the shards through
+            split_dims (collate-based — fine for small/test datasets)."""
+            cache = self._get_stats_cache(dataset)
+            scan_idx = idx if use_idx is None else use_idx
+            groups, shards = [], []
+            for s in steps:
+                chunk_idx = scan_idx[s * step_graphs : (s + 1) * step_graphs]
+                for d in range(0, len(chunk_idx), per):
+                    shard_ids = chunk_idx[d : d + per]
+                    if cache is not None:
+                        parts = split_groups_by_shape(
+                            cache.lmax[shard_ids], cache.e[shard_ids],
+                            cache.n[shard_ids], G)
+                        groups.extend(shard_ids[p] for p in parts)
+                    else:
+                        shards.append([dataset[i] for i in shard_ids])
+            if cache is None:
+                return split_dims(shards, G) if shards else None
+            if not groups:
+                return None
+            dl = cache.group_dims(groups)
+            if dl is None:  # native lib unavailable after all
+                return None
+            # groups were appended shard-major (G per shard): position g of
+            # shard j sits at j*G + g
+            return [{k: max(d[k] for d in dl[g::G]) for k in dl[g]}
+                    for g in range(G)]
+
+        def pick_split():
+            """Resolve the split group count once (mirrors pick_chunks):
+            forced by the ``split`` ctor arg, else auto on TPU when each
+            shard yields >= 2 bs16-class groups whose dims all pass the
+            kernel VMEM gate. Split replaces chunking (collate_split groups
+            ARE the kernel-sized units). Multi-host keeps the zero-copy
+            collate_shards path (_globalize handles flat dicts only)."""
+            if isinstance(self.split_arg, int):
+                return max(self.split_arg, 1)
+            if (jax.default_backend() != "tpu"
+                    or self.model_cfg.num_rounds != 1
+                    or jax.process_count() > 1):
+                return 1
+            G = per // 16
+            if G < 2:
+                return 1
+            dl = scan_split_dims(G, range(min(n_steps, 1)))
+            if dl is None:
+                return 1
+            from ..ops.pallas.level_kernel import kernel_fits
+
+            if all(kernel_fits(d["N"], d["EP"], d["NP"],
+                               self.model_cfg.dim_hidden) for d in dl):
+                if self.is_chief:
+                    print(f"[INFO] fixed-dims: splitting each shard into "
+                          f"{G} shape-sorted groups (collate_split)")
+                return G
+            return 1
+
+        if self._split is None and n_steps:  # defer on empty epochs
+            self._split = pick_split()
+        if self._split is not None and self._split > 1:
+            if n_steps == 0:  # empty epoch (tiny val split): keep split mode
+                return [dict(d) for d in self._split_dims_max] or None
+
+            def merge_split(dl):
+                # running max per group position: same recompile-avoidance
+                # rationale as _dims_max below
+                if not self._split_dims_max:
+                    self._split_dims_max = [dict(d) for d in dl]
+                    return
+                for cur, new in zip(self._split_dims_max, dl):
+                    for k, v in new.items():
+                        if v > cur.get(k, 0):
+                            cur[k] = v
+
+            dl = scan_split_dims(self._split, range(n_steps))
+            if dl is not None:
+                first = not self._split_dims_max
+                merge_split(dl)
+                if first:
+                    # Split dims hug their groups tightly, so a FRESH shuffle
+                    # can outgrow epoch-1's max (each growth = a remote
+                    # recompile, 20s-5min on the tunneled chip). Pre-grow the
+                    # running max over a few extra deterministic layouts so
+                    # it starts near its sup instead of climbing epoch by
+                    # epoch; the bucketed dims absorb the residue.
+                    r = np.random.default_rng(0)
+                    for _ in range(8):
+                        alt = scan_split_dims(
+                            self._split, range(n_steps),
+                            use_idx=r.permutation(len(dataset)))
+                        if alt is not None:
+                            merge_split(alt)
+                return [dict(d) for d in self._split_dims_max]
+            self._split = 1  # no dims source: fall back to the chunk path
 
         if self._chunks is None:
             self._chunks = pick_chunks()
@@ -448,12 +602,13 @@ class Trainer:
             chunkg = [dataset[i] for i in idx[lo : lo + K * step_graphs]]
             n_shards = K * self.num_devices
             shards = [chunkg[j * bs : (j + 1) * bs] for j in range(n_shards)]
-            big = collate_shards(shards, dims=dims, num_chunks=C)
+            if isinstance(dims, list):  # split mode: [K(*dp), ...] stacked
+                big = self._collate_split_shards(shards, dims, stacked=True)
+            else:
+                big = collate_shards(shards, dims=dims, num_chunks=C)
             if self.mesh is not None:  # [K*dp, ...] -> [K, dp, ...]
-                big = {
-                    k: v.reshape((K, self.num_devices) + v.shape[1:])
-                    for k, v in big.items()
-                }
+                reshape = lambda v: v.reshape((K, self.num_devices) + v.shape[1:])
+                big = _map_leaves(big, reshape)
             return self._packer.to_device(big, extra_lead=1)
 
         import queue

@@ -149,6 +149,35 @@ _WIDEN = {np.dtype(np.int8).str: 0, np.dtype(np.int16).str: 1,
           np.dtype(np.int32).str: 2, np.dtype(np.int64).str: 3}
 
 
+def _flatten_groups(batch: dict) -> tuple[dict, int | None]:
+    """Split batches (data/batching.collate_split) carry a ``groups`` tuple
+    of per-group dicts; the arena plan works on flat key->array maps, so
+    nest the group keys as "groups:<g>:<key>" for the wire and restore the
+    tuple after unpack. Returns (flat_batch, num_groups|None)."""
+    if "groups" not in batch:
+        return batch, None
+    flat = {k: v for k, v in batch.items() if k != "groups"}
+    for gi, gb in enumerate(batch["groups"]):
+        for kk, vv in gb.items():
+            flat[f"groups:{gi}:{kk}"] = vv
+    return flat, len(batch["groups"])
+
+
+def _unflatten_groups(flat: dict, num_groups: int | None) -> dict:
+    if num_groups is None:
+        return flat
+    out = {}
+    groups = [dict() for _ in range(num_groups)]
+    for k, v in flat.items():
+        if k.startswith("groups:"):
+            _, gi, kk = k.split(":", 2)
+            groups[int(gi)][kk] = v
+        else:
+            out[k] = v
+    out["groups"] = tuple(groups)
+    return out
+
+
 class ArenaPacker:
     """to_device(batch of numpy arrays) -> dict of device arrays, one
     transfer. ``mesh``: optional dp mesh — every key must then carry a
@@ -202,6 +231,7 @@ class ArenaPacker:
         ALREADY-STACKED K-step group ([K, (dp,) ...] leaves) packs with
         extra_lead=1 in ONE vectorized fill pass per key."""
         n_lead = extra_lead + (1 if self.mesh is not None else 0)
+        batch, n_groups = _flatten_groups(batch)
         items, total = self._sticky_plan([batch], n_lead)
         lead = ()
         if n_lead:
@@ -210,7 +240,8 @@ class ArenaPacker:
             )
         arena = np.zeros(lead + (total,), np.uint8)
         _fill(arena, batch, items, lead)
-        return _make_unpack(items, total, n_lead)(self._put(arena, n_lead))
+        out = _make_unpack(items, total, n_lead)(self._put(arena, n_lead))
+        return _unflatten_groups(out, n_groups)
 
     def to_device_steps(self, batches: list) -> dict:
         """Pack K same-shape step batches -> leaves with a leading [K] axis
@@ -218,6 +249,9 @@ class ArenaPacker:
         k_steps = len(batches)
         per_lead = 1 if self.mesh is not None else 0
         n_lead = per_lead + 1
+        flat = [_flatten_groups(b) for b in batches]
+        n_groups = flat[0][1]
+        batches = [f[0] for f in flat]
         items, total = self._sticky_plan(batches, per_lead)
         lead = (k_steps,)
         if per_lead:
@@ -225,4 +259,5 @@ class ArenaPacker:
         arena = np.zeros(lead + (total,), np.uint8)
         for step, batch in enumerate(batches):
             _fill(arena[step], batch, items, lead[1:])
-        return _make_unpack(items, total, n_lead)(self._put(arena, n_lead))
+        out = _make_unpack(items, total, n_lead)(self._put(arena, n_lead))
+        return _unflatten_groups(out, n_groups)

@@ -80,6 +80,7 @@ if __name__ == "__main__":
         log_every=args.log_every,
         fixed_dims=not args.no_fixed_dims,
         steps_per_call=args.steps_per_call,
+        split=args.split if args.split == "auto" else int(args.split),
     )
     if args.resume:
         trainer.resume()
