@@ -558,6 +558,54 @@ class GroupStatsCache:
             self.lmax = np.maximum.reduceat(self.fwd_all, self.node_off[:-1])
         else:
             self.lmax = np.zeros(len(graphs), np.int32)
+        self._level_hists = None  # lazy [num_graphs, Lmax+1] histograms
+
+    def level_hists(self):
+        """Per-graph per-level histograms ``(Hn, He)``, each shaped
+        [num_graphs, Lmax_global + 1]: Hn[i, l] = nodes of graph i at
+        forward level l, He[i, l] = edges of graph i whose DST sits at
+        level l — the per-level quantities whose batch maxima become the
+        NP / EP padded dims (see the stats pass around line 124). Built
+        lazily (one bincount each), cached on the stats cache."""
+        if self._level_hists is None:
+            G = self.num_graphs
+            L = int(self.lmax.max(initial=0))
+            w = L + 1
+            if self.fwd_all.size:
+                gid_n = np.repeat(np.arange(G, dtype=np.int64), self.n)
+                Hn = np.bincount(gid_n * w + self.fwd_all,
+                                 minlength=G * w).reshape(G, w)
+            else:
+                Hn = np.zeros((G, w), np.int64)
+            if self.edst_all.size:
+                gid_e = np.repeat(np.arange(G, dtype=np.int64), self.e)
+                dst_glb = self.edst_all + np.repeat(self.node_off[:-1], self.e)
+                He = np.bincount(gid_e * w + self.fwd_all[dst_glb],
+                                 minlength=G * w).reshape(G, w)
+            else:
+                He = np.zeros((G, w), np.int64)
+            self._level_hists = (Hn, He)
+        return self._level_hists
+
+    def level_sup(self, ids: np.ndarray, m: int) -> tuple[int, int]:
+        """Exact sup of (np_real, ep_real) over every m-subset of ``ids``:
+        per-level counts are ADDITIVE across a group's members, so the sup
+        of the level-max is, per level, the sum of the m largest member
+        values — attained (per level) by a real subset. Levels >= 1 only,
+        matching the stats pass (level-0 rows never enter NP/EP)."""
+        Hn, He = self.level_hists()
+        ids = np.asarray(ids)
+        m = min(int(m), len(ids))
+        if m == 0 or Hn.shape[1] <= 1:
+            return 0, 0
+
+        def sup(H):
+            sub = H[ids, 1:]
+            if m < sub.shape[0]:
+                sub = np.partition(sub, sub.shape[0] - m, axis=0)[-m:]
+            return int(sub.sum(axis=0).max(initial=0))
+
+        return sup(Hn), sup(He)
 
     def group_dims(self, groups: list[np.ndarray], mp: int = 1) -> list[dict] | None:
         """shard_dims() for every group of graph ids in one native call, or

@@ -129,6 +129,12 @@ class Trainer:
         self.split_arg = split
         self._split: int | None = None      # resolved G (1 = off)
         self._split_dims_max: list = []     # running per-group dims max
+        # Split-mode batch layout: None until split engages, then
+        # "stratified" (each batch draws its group-g members from dataset-
+        # wide shape stratum g — group dims become shuffle-independent, so
+        # batch shapes stop growing epoch over epoch) or "uniform" (no
+        # shape-key source; running max absorbs the drift).
+        self._split_layout: str | None = None
         # per-dataset stats cache for the fixed-dims epoch pre-scan
         # (data/batching.GroupStatsCache), keyed on dataset identity
         self._stats_caches: list = []  # [(dataset, GroupStatsCache)] strong refs
@@ -247,8 +253,113 @@ class Trainer:
             )
         dims = None
         if self.fixed_dims:
+            if (self._split is not None and self._split > 1
+                    and self._split_layout == "stratified"):
+                sidx = self._stratified_perm(dataset, n_steps, step_graphs)
+                if sidx is not None:
+                    idx = sidx
             dims = self._update_dims_max(dataset, idx, n_steps, step_graphs)
+            if isinstance(dims, list) and self._split_layout is None:
+                # split just engaged (probed on the uniform layout): switch
+                # to the stratified layout, drop the uniform-layout dims
+                # from the running max (they are the fat statistics the
+                # split exists to avoid), and rescan
+                sidx = self._stratified_perm(dataset, n_steps, step_graphs)
+                if sidx is None:
+                    self._split_layout = "uniform"
+                else:
+                    self._split_layout = "stratified"
+                    self._split_dims_max = []
+                    idx = sidx
+                    dims = self._update_dims_max(dataset, idx, n_steps, step_graphs)
         return idx, n_steps, step_graphs, dims, (self._chunks or 1)
+
+    def _shape_sort_ids(self, dataset) -> np.ndarray:
+        """Dataset ids sorted by the split shape key (max level, edges,
+        nodes) — the dataset-wide order whose contiguous quantiles form the
+        stratified layout's strata. Uses the native stats cache when
+        available, else a python pass."""
+        cache = self._get_stats_cache(dataset)
+        if cache is not None:
+            return np.lexsort((cache.n, cache.e, cache.lmax))
+        lmax = np.array([int(dataset[i].forward_level.max(initial=0))
+                         for i in range(len(dataset))])
+        e = np.array([dataset[i].num_edges for i in range(len(dataset))])
+        n = np.array([dataset[i].num_nodes for i in range(len(dataset))])
+        return np.lexsort((n, e, lmax))
+
+    def _stratified_perm(self, dataset, n_steps, step_graphs, rng=None):
+        """Split-mode epoch layout (bucketed batching): partition the
+        dataset into G contiguous shape strata, shuffle WITHIN each
+        stratum, and compose every shard from its per-stratum quota — so
+        each shard's shape-sorted group g is (ties aside) a random
+        m_g-subset of stratum g. Group padded dims then vary only within a
+        stratum instead of with the whole shuffle, and batch shapes
+        stabilize after one epoch instead of growing (each growth is a
+        remote recompile, 20s-5min tunneled). Every graph still appears
+        exactly once per epoch; batch composition is stratified by shape —
+        the standard sequence-length-bucketing trade, documented in
+        CLAUDE.md. Returns None when a stratum cannot fill its quota."""
+        G = self._split
+        rng = rng if rng is not None else self._np_rng
+        order = self._shape_sort_ids(dataset)
+        strata = [s[rng.permutation(len(s))] for s in np.array_split(order, G)]
+        per = self.batch_size if self.mesh is not None else step_graphs
+        sizes = [len(a) for a in np.array_split(np.arange(per), G)]
+        n_shards = n_steps * (step_graphs // per)
+        if any(n_shards * m > len(s) for m, s in zip(sizes, strata)):
+            return None
+        shards = [
+            np.concatenate([strata[g][j * sizes[g]:(j + 1) * sizes[g]]
+                            for g in range(G)])
+            for j in range(n_shards)
+        ]
+        used = np.concatenate(shards) if shards else np.zeros(0, np.int64)
+        rest = np.setdiff1d(order, used, assume_unique=True)
+        return np.concatenate([used, rest]).astype(np.int64)
+
+    def _split_worstcase_dims(self, dataset, per) -> list | None:
+        """Closed-form sup of the stratified layout's per-position dims:
+        with group g always an m_g-subset of stratum g, the sum-type dims
+        (N, E, P) are maximized by the stratum's top-m_g members by that
+        stat, L by any subset holding the max-level member (synthetic worst
+        groups, one native call), and the per-level dims NP/EP exactly by
+        cache.level_sup (per-level counts are additive across members, so
+        the sup is the per-level top-m column sum). Pinning the running max
+        at its sup up front matters because every later growth is a remote
+        recompile (20s-5min tunneled) — exactly what turned the first split
+        e2e measurement from ~2.4s into 21.2s (one EP bucket 256->320).
+        Only EBF/EBR (per-128-dst-block edge counts, not additive across
+        members) have no closed form; the caller adds a one-bucket margin
+        and the running max absorbs any residue."""
+        if self._split_layout != "stratified":
+            return None
+        cache = self._get_stats_cache(dataset)
+        if cache is None:
+            return None
+        from ..data.batching import bucket
+
+        G = self._split
+        order = self._shape_sort_ids(dataset)
+        strata = np.array_split(order, G)
+        sizes = [len(a) for a in np.array_split(np.arange(per), G)]
+        groups = []
+        for g, st in enumerate(strata):
+            m = min(sizes[g], len(st))
+            if m == 0:
+                return None
+            for stat in (cache.n, cache.e, cache.p, cache.lmax):
+                groups.append(st[np.argsort(stat[st], kind="stable")[-m:]])
+        dl = cache.group_dims(groups)
+        if dl is None:
+            return None
+        out = [{k: max(d[k] for d in dl[g * 4:(g + 1) * 4]) for k in dl[0]}
+               for g in range(G)]
+        for g, st in enumerate(strata):
+            np_sup, ep_sup = cache.level_sup(st, sizes[g])
+            out[g]["NP"] = max(out[g]["NP"], bucket(max(np_sup, 1)))
+            out[g]["EP"] = max(out[g]["EP"], bucket(max(ep_sup, 1)))
+        return out
 
     def _iter_batches(self, dataset, shuffle: bool, plan=None):
         """Host-side loader: shuffle, drop_last, shard across devices.
@@ -490,11 +601,28 @@ class Trainer:
                     # epoch; the bucketed dims absorb the residue.
                     r = np.random.default_rng(0)
                     for _ in range(8):
-                        alt = scan_split_dims(
-                            self._split, range(n_steps),
-                            use_idx=r.permutation(len(dataset)))
+                        alt_idx = None
+                        if self._split_layout == "stratified":
+                            alt_idx = self._stratified_perm(
+                                dataset, n_steps, step_graphs, rng=r)
+                        if alt_idx is None:
+                            alt_idx = r.permutation(len(dataset))
+                        alt = scan_split_dims(self._split, range(n_steps),
+                                              use_idx=alt_idx)
                         if alt is not None:
                             merge_split(alt)
+                    wl = self._split_worstcase_dims(dataset, per)
+                    if wl is not None:
+                        merge_split(wl)
+                        # EBF/EBR have no closed-form subset sup (block
+                        # counts aren't additive across members): one
+                        # bucket of margin (<= 25% on the fa/ra index
+                        # tables only) beats a 20s-5min remote recompile
+                        from ..data.batching import bucket
+
+                        for cur in self._split_dims_max:
+                            for k in ("EBF", "EBR"):
+                                cur[k] = bucket(cur[k] + 1)
                 return [dict(d) for d in self._split_dims_max]
             self._split = 1  # no dims source: fall back to the chunk path
 

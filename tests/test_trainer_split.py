@@ -87,6 +87,67 @@ def test_split_trainer_dp_mesh(tmp_path):
     assert np.isfinite(m["recon"]) and np.isfinite(m["func"])
 
 
+def test_level_sup_exact_vs_bruteforce():
+    """GroupStatsCache.level_sup must be a TIGHT sup of the per-group
+    (np_real, ep_real) stats over every m-subset: >= every sampled subset,
+    and attained (per stat) by some subset."""
+    import itertools
+
+    from mgvae_tpu.data.batching import GroupStatsCache
+
+    rng = np.random.default_rng(11)
+    graphs = [random_circuit(rng, "mig", num_inputs=int(rng.integers(3, 7)),
+                             num_gates=int(rng.integers(10, 60)))
+              for _ in range(7)]
+    cache = GroupStatsCache(graphs)
+    Hn, He = cache.level_hists()
+    # histograms match a direct per-graph count
+    for i, g in enumerate(graphs):
+        fwd = np.asarray(g.forward_level)
+        np.testing.assert_array_equal(
+            Hn[i, :fwd.max() + 1], np.bincount(fwd))
+        dst_lv = fwd[np.asarray(g.edge_index[1])]
+        np.testing.assert_array_equal(
+            He[i, :dst_lv.max() + 1], np.bincount(dst_lv, minlength=fwd.max() + 1)[:dst_lv.max() + 1])
+
+    ids = np.arange(len(graphs))
+    m = 3
+    np_sup, ep_sup = cache.level_sup(ids, m)
+    best_np = best_ep = 0
+    for sub in itertools.combinations(range(len(graphs)), m):
+        sub = np.asarray(sub)
+        np_r = int(Hn[sub, 1:].sum(axis=0).max(initial=0))
+        ep_r = int(He[sub, 1:].sum(axis=0).max(initial=0))
+        assert np_r <= np_sup and ep_r <= ep_sup
+        best_np = max(best_np, np_r)
+        best_ep = max(best_ep, ep_r)
+    assert best_np == np_sup and best_ep == ep_sup
+
+
+def test_split_dims_never_grow_after_first_epoch(tmp_path):
+    """Regression for the 21s-vs-2.4s split e2e: a dims growth in a later
+    epoch = a remote recompile. This is the exact config that leaked an EP
+    bucket (256->320) before the closed-form NP/EP sup landed: stratified
+    layout + worst-case pre-grow must pin the dims list at epoch 0."""
+    rng = np.random.default_rng(7)
+    ds = [random_circuit(rng, "mig", num_inputs=int(rng.integers(6, 14)),
+                         num_gates=int(rng.integers(60, 180)), num_tt_pairs=16)
+          for _ in range(128)]
+    cfg = DGConfig(modality="mig", dim_hidden=32, layernorm=True)
+    tr = Trainer(_args(), cfg, training_id="spstab", save_dir=str(tmp_path),
+                 lr=1e-4, batch_size=32, distributed=False, seed=3, split=2)
+    first = None
+    for ep in range(25):
+        _, _, _, dims, _ = tr._epoch_plan(ds, shuffle=True)
+        assert isinstance(dims, list)
+        key = tuple(tuple(sorted(d.items())) for d in dims)
+        if first is None:
+            first = key
+        else:
+            assert key == first, f"split dims grew at epoch {ep}"
+    assert tr._split_layout == "stratified"
+
+
 def test_packer_roundtrips_split_batch():
     """ArenaPacker to_device/to_device_steps must reproduce every leaf of a
     split batch, including the nested groups tuple."""
