@@ -1136,6 +1136,71 @@ def stack_batches(batches: list[dict]) -> dict:
     return out
 
 
+def collate_split_step(shards: list[list[CircuitGraph]],
+                       dims: list[dict]) -> dict:
+    """Zero-copy SPLIT-step collate: the stacked [K, ...] split batch for K
+    shards at agreed per-group dims, byte-identical to
+    ``stack_batches([collate_split(s, G, dims) for s in shards])`` with the
+    host-only ``node_inv`` dropped.
+
+    The win over the python path (measured ~7 ms/step at K=8 bs64 on the
+    1-core host): group position g's dims are uniform across the K shards,
+    so all K group-g collates go through ONE _collate_shards_zero_copy call
+    (C++ mg_collate_step, std::thread over shards, no np.stack pass) — G
+    native calls per dispatch group instead of K python collate_split
+    calls + a leaf-wise stack. The global loss arrays (concat node order)
+    are then assembled with vectorized axis-1 concatenates over the stacked
+    group buffers."""
+    G = len(dims)
+    K = len(shards)
+    parts = [_split_partition(s, G) for s in shards]
+    gstk = []
+    for g in range(G):
+        shards_g = [[s[i] for i in p[g]] for s, p in zip(shards, parts)]
+        gstk.append(_collate_shards_zero_copy(shards_g, dims[g], mp=1))
+
+    n_pad = [int(gb["gate"].shape[1]) for gb in gstk]
+    offs = np.concatenate([[0], np.cumsum(n_pad)]).astype(np.int32)
+
+    def cat(k, off_by=None):
+        parts_ = []
+        for g, gb in enumerate(gstk):
+            a = np.asarray(gb[k])
+            if off_by == "node":
+                a = a + offs[g]
+            parts_.append(a)
+        return np.concatenate(parts_, axis=1)
+
+    def tot(k):
+        return np.sum([gb[k] for gb in gstk], axis=0).astype(np.int32)
+
+    out = {
+        "gate": cat("gate"),
+        "node_valid": cat("node_valid"),
+        "forward_level": cat("forward_level"),
+        "prob": cat("prob"),
+        "edge_src": cat("edge_src", off_by="node"),
+        "edge_dst": cat("edge_dst", off_by="node"),
+        "edge_valid": cat("edge_valid"),
+        "tt_pair_a": cat("tt_pair_a", off_by="node"),
+        "tt_pair_b": cat("tt_pair_b", off_by="node"),
+        "tt_valid": cat("tt_valid"),
+        "tt_dis": cat("tt_dis"),
+        "n_nodes": tot("n_nodes"),
+        "n_edges": tot("n_edges"),
+        "n_tt": tot("n_tt"),
+        "n_graphs": np.array([len(s) for s in shards], np.int32),
+        "chunk_counts": np.stack(
+            [gb["n_nodes"].astype(np.int32) for gb in gstk], axis=1),
+        "chunk_offsets": np.broadcast_to(offs[:-1], (K, G)).copy(),
+    }
+    out["groups"] = tuple(
+        {k: v for k, v in gb.items() if k not in _SPLIT_FWD_DROP}
+        for gb in gstk
+    )
+    return out
+
+
 def collate_split(graphs: list[CircuitGraph], num_groups: int,
                   dims: list[dict] | None = None) -> dict:
     """Shape-aware SPLIT batch (VERDICT r3 item 7): graphs sorted by shape

@@ -30,7 +30,7 @@ from ..data.batching import (
     collate_fit,
     collate_shards,
     collate_split,
-    stack_batches,
+    collate_split_step,
 )
 from ..models.dg_ae import DGConfig, init_params
 from ..parallel.mesh import make_dp_mesh
@@ -431,15 +431,14 @@ class Trainer:
         """collate_split each shard at the epoch's agreed per-group dims.
         node_inv (host-side, sized by the ORIGINAL node count) varies per
         shard and is never read on device — dropped before stacking.
-        No zero-copy C++ path yet: split batches np.stack leaf-wise."""
-        per = []
-        for s in shards:
-            b = collate_split(s, len(dims), dims=dims)
-            b.pop("node_inv", None)
-            per.append(b)
-        if not stacked:
-            return per[0]
-        return stack_batches(per)
+        Stacked groups ride the zero-copy step collate (one C++
+        mg_collate_step call per group position); the non-stacked path
+        stays python collate_split."""
+        if stacked:
+            return collate_split_step(shards, dims)
+        b = collate_split(shards[0], len(dims), dims=dims)
+        b.pop("node_inv", None)
+        return b
 
     def _update_dims_max(self, dataset, idx, n_steps, step_graphs):
         """Grow the running dims max over this epoch's actual shards (cheap

@@ -98,3 +98,40 @@ def test_split_train_step_runs():
     assert np.isfinite(np.asarray(m["loss"])).all()
     # negatives stayed inside valid node runs: loss magnitudes sane
     assert float(m["n_pred"]) == 2 * int(batch["n_edges"])
+
+
+def test_collate_split_step_matches_python():
+    """Zero-copy split-step collate == stacked python collate_split, byte
+    for byte (same contract as the chunked path's mg_collate_step test)."""
+    from mgvae_tpu.data.batching import (
+        collate_split_step,
+        split_dims,
+        stack_batches,
+    )
+
+    graphs = _graphs(n=24, seed=11)
+    shards = [graphs[i * 8:(i + 1) * 8] for i in range(3)]
+    dims = split_dims(shards, 2)
+
+    ref = []
+    for s in shards:
+        b = collate_split(s, 2, dims=dims)
+        b.pop("node_inv", None)
+        ref.append(b)
+    ref = stack_batches(ref)
+    out = collate_split_step(shards, dims)
+
+    assert set(ref) == set(out)
+    for k in ref:
+        if k == "groups":
+            continue
+        assert ref[k].dtype == out[k].dtype, k
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]),
+                                      err_msg=k)
+    assert len(ref["groups"]) == len(out["groups"])
+    for g, (rg, og) in enumerate(zip(ref["groups"], out["groups"])):
+        assert set(rg) == set(og), g
+        for k in rg:
+            assert rg[k].dtype == og[k].dtype, (g, k)
+            np.testing.assert_array_equal(np.asarray(og[k]), np.asarray(rg[k]),
+                                          err_msg=f"group {g} key {k}")
