@@ -81,8 +81,43 @@ def _auto_pallas(batch, cfg: DGConfig) -> bool:
     )
 
 
+# split-batch globals the wire can omit: exact concatenations of the
+# per-group tables, rebuilt on device by rehydrate_split (the trainer's
+# stacked split collate drops them before packing — 187 KB/step of the
+# 1.7 MB bs64 split wire at the tunnel's ~85 MB/s)
+SPLIT_WIRE_DERIVABLE = ("gate", "node_valid", "forward_level",
+                        "edge_src", "edge_dst", "edge_valid")
+
+
+def rehydrate_split(batch):
+    """Rebuild a split batch's global loss arrays from its ``groups`` tuple
+    when the wire omitted them: the globals are exact axis-(-1) concats of
+    the per-group padded tables, with each group's node-id arrays shifted by
+    the (static) padded-node offset — the device-side mirror of
+    data/batching.collate_split's ``cat`` (free under jit: XLA fuses the
+    copies into consumers)."""
+    if "groups" not in batch or "gate" in batch:
+        return batch
+    import numpy as np
+
+    gbs = batch["groups"]
+    offs = np.cumsum([0] + [int(gb["gate"].shape[-1]) for gb in gbs])
+    cat = lambda k: jnp.concatenate([gb[k] for gb in gbs], axis=-1)
+    cat_off = lambda k: jnp.concatenate(
+        [gb[k] + np.int32(offs[g]) for g, gb in enumerate(gbs)], axis=-1)
+    out = dict(batch)
+    out["gate"] = cat("gate")
+    out["node_valid"] = cat("node_valid")
+    out["forward_level"] = cat("forward_level")
+    out["edge_src"] = cat_off("edge_src")
+    out["edge_dst"] = cat_off("edge_dst")
+    out["edge_valid"] = cat("edge_valid")
+    return out
+
+
 def loss_and_metrics(params, state, batch, rng, weights, cfg: DGConfig, train: bool):
     """weights: [w_recon, w_prob, w_func, w_kl]."""
+    batch = rehydrate_split(batch)
     k_vae, k_neg, k_drop = jax.random.split(rng, 3)
     hs, hf, aux = forward(
         params, batch, cfg, rng=k_vae if cfg.variational else None,

@@ -38,6 +38,7 @@ from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logger import AverageMeter, Logger
 from .step import (
     METRIC_KEYS as _METRIC_KEYS,
+    SPLIT_WIRE_DERIVABLE,
     make_multi_eval,
     make_multi_step,
     make_optimizer,
@@ -435,7 +436,12 @@ class Trainer:
         mg_collate_step call per group position); the non-stacked path
         stays python collate_split."""
         if stacked:
-            return collate_split_step(shards, dims)
+            big = collate_split_step(shards, dims)
+            # globals the device rebuilds from the groups (step.rehydrate_
+            # split) stay off the ~85 MB/s wire
+            for k in SPLIT_WIRE_DERIVABLE:
+                big.pop(k, None)
+            return big
         b = collate_split(shards[0], len(dims), dims=dims)
         b.pop("node_inv", None)
         return b

@@ -135,3 +135,42 @@ def test_collate_split_step_matches_python():
             assert rg[k].dtype == og[k].dtype, (g, k)
             np.testing.assert_array_equal(np.asarray(og[k]), np.asarray(rg[k]),
                                           err_msg=f"group {g} key {k}")
+
+
+def test_rehydrate_split_bitmatches_full_batch():
+    """Wire-stripped split batch (SPLIT_WIRE_DERIVABLE dropped) through the
+    train step == the full batch, bit for bit: rehydrate_split's device-side
+    concat must reproduce collate_split's global arrays exactly."""
+    import optax
+
+    from mgvae_tpu.train.step import (
+        SPLIT_WIRE_DERIVABLE,
+        make_train_step,
+        rehydrate_split,
+    )
+
+    graphs = _graphs(n=12, seed=13)
+    cfg = DGConfig(modality="mig", dim_hidden=32, s_rounds=2, t_rounds=2,
+                   layernorm=True)
+    params, state = init_params(jax.random.PRNGKey(4), cfg)
+    full = jax.tree.map(jnp.asarray, collate_split(graphs, 3))
+    stripped = {k: v for k, v in full.items() if k not in SPLIT_WIRE_DERIVABLE}
+
+    re = rehydrate_split(stripped)
+    for k in SPLIT_WIRE_DERIVABLE:
+        assert re[k].dtype == full[k].dtype, k
+        np.testing.assert_array_equal(np.asarray(re[k]), np.asarray(full[k]),
+                                      err_msg=k)
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step, _ = make_train_step(cfg, opt, None, donate=False)
+    weights = jnp.asarray([1.0, 4.0, 2.0, 0.0])
+    rng = jax.random.PRNGKey(9)
+    p1, s1, o1, m1 = step(params, state, opt_state, full, rng, weights)
+    p2, s2, o2, m2 = step(params, state, opt_state, stripped, rng, weights)
+    for k in m1:
+        np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]),
+                                      err_msg=k)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p1, p2)
