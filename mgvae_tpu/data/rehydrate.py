@@ -1,0 +1,196 @@
+"""Device-side rebuild of collate's derived index tables (wire thinning).
+
+Every index table `data/batching.collate` emits is a deterministic function
+of four small inputs — `edge_src`, `edge_dst`, `lv_start`, and the n_*
+scalars — because the collate renumbers nodes LEVEL-MAJOR (batching.py:101)
+before building any table:
+
+- node rows of a level are the contiguous id range
+  [lv_start[l], lv_start[l+1]) -> `lv_nodes`/`lv_node_valid`/`forward_level`
+  are closed-form (iota + compare), no data needed;
+- the level-edge tables are the edges stable-sorted by
+  (dst level, src, original index) (batching.py:131) and the blocked-CSR
+  fa/ra tables are the edges stable-sorted by dst (resp. src) node block
+  (batching.py:365) -> one `jnp.argsort` each reproduces the exact layout,
+  and prefix counts (comparison-sums against the sorted keys) replace the
+  host's bincount/cumsum without a single TPU scatter;
+- degrees fall out of the blocked tables as per-block slot histograms
+  (one-hot einsum on the MXU).
+
+Why: the tunneled chip moves ~85 MB/s host->device, and the derived tables
+are ~65% of a bs16 step's narrowed wire bytes (fa/ra 131 KB + lv_* 127 KB of
+407 KB per dp=8 step) — all permuted copies of the edge list that is on the
+wire anyway. Rebuilding them on device inside the jitted step trades a few
+hundred microseconds of sort/gather for those bytes, exactly like
+`train/step.rehydrate_split` does for split-batch globals. The host keeps
+building the tables (the C++ collate emits them in one pass); only the WIRE
+drops them.
+
+Byte-identity with the host tables is load-bearing (the fused Pallas kernel
+ingests them raw) and is asserted by tests/test_rehydrate.py across
+modalities, dims overrides, and mp padding.
+
+Scope: flat UNCHUNKED batches (2-D level tables). Chunked ([C, L]) and
+multihost-globalized batches keep the full wire — `wire_drop` refuses them.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .batching import BLOCK_D
+
+# keys the device rebuilds bit-exactly (21) plus keys the train step never
+# reads (3: graph_id / node_perm / node_inv, see api.py for their only
+# consumer) — all safe to leave off the train wire
+DERIVED_KEYS = (
+    "node_valid", "forward_level", "edge_valid", "tt_valid",
+    "lv_nodes", "lv_node_valid",
+    "lv_edge_src", "lv_edge_dst_slot", "lv_edge_valid", "lv_edge_id",
+    "edge_lv_row",
+    "fa_src", "fa_slot", "fa_valid", "fa_eid",
+    "ra_src", "ra_slot", "ra_valid", "ra_eid",
+    "deg_in", "deg_out",
+)
+UNUSED_KEYS = ("graph_id", "node_perm", "node_inv")
+
+
+def wire_drop(batch: dict) -> dict:
+    """Return a thin copy of a collated batch with the derived and
+    step-unused keys removed and a zero-byte `tdims` placeholder added whose
+    SHAPE carries the four padded dims (NP, EP, EBF, EBR) the rebuild cannot
+    read off the remaining arrays. Split batches thin each GROUP (each group
+    is an unchunked sub-batch; the split globals are handled separately by
+    step.SPLIT_WIRE_DERIVABLE). Leading [dp]/[K] axes pass through untouched
+    (the placeholder mirrors them). No-op (returns the same dict object)
+    when the batch is chunked, already thin, or the level sort key would
+    overflow int32."""
+    if "groups" in batch:
+        gbs = tuple(wire_drop(gb) for gb in batch["groups"])
+        if all(g is o for g, o in zip(gbs, batch["groups"])):
+            return batch
+        out = dict(batch)
+        out["groups"] = gbs
+        return out
+    lv = batch.get("lv_nodes")
+    if lv is None or "chunk_counts" in batch:
+        return batch
+    lead = lv.ndim - 2  # stacked [dp] / grouped [K, dp] lead axes
+    if lead < 0:
+        return batch
+    n_dim = batch["gate"].shape[-1]
+    l_dim = batch["lv_start"].shape[-1]
+    if (l_dim + 1) * n_dim >= 2**31:  # keep the full wire for giant graphs
+        return batch
+    thin = {k: v for k, v in batch.items() if k not in DERIVED_KEYS and k not in UNUSED_KEYS}
+    np_dim, ep_dim = lv.shape[-1], batch["lv_edge_src"].shape[-1]
+    ebf, ebr = batch["fa_src"].shape[-1], batch["ra_src"].shape[-1]
+    thin["tdims"] = np.zeros(lv.shape[:lead] + (0, np_dim, ep_dim, ebf, ebr), np.int8)
+    return thin
+
+
+def _blocked(edge_valid, by, other, eb: int, n_dim: int, e_dim: int, dump):
+    """Device mirror of batching._blocked_tables: edges stable-sorted by
+    `by` node (padding edges keyed to N so they sort last), per-block ranks
+    from prefix counts against the sorted keys, tables gathered from the
+    sorted order. Returns (src, slot, valid, eid, order, sorted_key)."""
+    nb = n_dim // BLOCK_D
+    key = jnp.where(edge_valid, by, n_dim)
+    order = jnp.argsort(key)  # stable: ties keep original edge order
+    skey = key[order]
+    # bstart[b] = #edges in blocks < b; bstart[nb] excludes the padding keys
+    bounds = jnp.arange(nb + 1, dtype=jnp.int32) * BLOCK_D
+    bstart = jnp.sum(skey[None, :] < bounds[:, None], axis=1, dtype=jnp.int32)
+    cnt = bstart[1:] - bstart[:-1]
+    s = jnp.arange(eb, dtype=jnp.int32)[None, :]
+    valid = s < cnt[:, None]
+    pos = jnp.clip(bstart[:-1, None] + s, 0, e_dim - 1)
+    eid = jnp.where(valid, order[pos].astype(jnp.int32), e_dim - 1)
+    src = jnp.where(valid, other[eid], dump)
+    blk0 = jnp.arange(nb, dtype=jnp.int32)[:, None] * BLOCK_D
+    slot = jnp.where(valid, by[eid] - blk0, 0)
+    return src, slot, valid, eid
+
+
+def _slot_hist(slot, valid, n_dim: int):
+    """deg per node from a blocked table: per-block histogram over the
+    BLOCK_D local slots as a one-hot einsum (exact small-int f32)."""
+    oh = (slot[..., None] == jnp.arange(BLOCK_D, dtype=jnp.int32)).astype(jnp.float32)
+    return jnp.einsum("be,bec->bc", valid.astype(jnp.float32), oh).reshape(n_dim)
+
+
+def derive_tables(batch: dict) -> dict:
+    """Rebuild every DERIVED_KEYS table of a thin (wire_drop'ed) unchunked
+    batch, bit-exact vs data/batching.collate. Pure jnp, static shapes,
+    scatter-free; intended to run inside the jitted train/eval step."""
+    if "lv_nodes" in batch or "tdims" not in batch:
+        return batch
+    np_dim, ep_dim, ebf, ebr = (int(d) for d in batch["tdims"].shape[-4:])
+    gate, lv_start = batch["gate"], batch["lv_start"]
+    edge_src, edge_dst = batch["edge_src"], batch["edge_dst"]
+    n_dim, e_dim, l_dim = gate.shape[-1], edge_src.shape[-1], lv_start.shape[-1]
+    n, e = batch["n_nodes"], batch["n_edges"]
+    dump = n.astype(jnp.int32)  # first padding node (collate: dump = n)
+
+    out = dict(batch)
+    out.pop("tdims")
+    iota_n = jnp.arange(n_dim, dtype=jnp.int32)
+    node_valid = iota_n < n
+    edge_valid = jnp.arange(e_dim, dtype=jnp.int32) < e
+    out["node_valid"] = node_valid
+    out["edge_valid"] = edge_valid
+    if "tt_pair_a" in batch:  # split GROUPS carry no tt keys (global losses)
+        p_dim = batch["tt_pair_a"].shape[-1]
+        out["tt_valid"] = jnp.arange(p_dim, dtype=jnp.int32) < batch["n_tt"]
+
+    # level of node v = #{l : lv_start[l] <= v} (level-major contiguity);
+    # padded lv_start rows equal n so they never count for valid nodes
+    fwd = jnp.sum(iota_n[:, None] >= lv_start[None, :], axis=1, dtype=jnp.int32)
+    fwd = jnp.where(node_valid, fwd, 0)
+    out["forward_level"] = fwd
+
+    # node rows: level l+1 occupies [lv_start[l], nxt[l])
+    nxt = jnp.concatenate([lv_start[1:], n[None].astype(lv_start.dtype)])
+    s_np = jnp.arange(np_dim, dtype=jnp.int32)[None, :]
+    lv_cnt = (nxt - lv_start).astype(jnp.int32)[:, None]
+    lv_node_valid = s_np < lv_cnt
+    out["lv_node_valid"] = lv_node_valid
+    out["lv_nodes"] = jnp.where(lv_node_valid, lv_start[:, None].astype(jnp.int32) + s_np, dump)
+
+    # level-edge tables: stable sort by (dst level, src, original index) —
+    # batching.py:131's lexsort. Padding edges key to 0 (level 0 holds no
+    # real edges: any edge dst has level >= 1) and are skipped by counting
+    # from level value 1 up.
+    dst_lvl = jnp.where(edge_valid, fwd[edge_dst], 0)
+    key = dst_lvl * n_dim + edge_src
+    order = jnp.argsort(key)
+    slvl = dst_lvl[order]
+    lv_vals = jnp.arange(l_dim + 1, dtype=jnp.int32)
+    # estart_all[v] = #sorted positions with level < v (v in 0..L). Padding
+    # edges key to level 0 and sort first, so estart_all[1] == E - e and all
+    # later boundaries are consistent; level L's group ends at E.
+    estart_all = jnp.sum(slvl[None, :] < lv_vals[:, None], axis=1, dtype=jnp.int32)
+    estart = estart_all[1:]  # row l holds level l+1 -> starts at estart_all[l+1]
+    ecnt_rows = jnp.concatenate([estart_all[2:], jnp.full((1,), e_dim, jnp.int32)]) - estart
+    s_ep = jnp.arange(ep_dim, dtype=jnp.int32)[None, :]
+    ev = s_ep < ecnt_rows[:, None]
+    pos = jnp.clip(estart[:, None] + s_ep, 0, e_dim - 1)
+    eid = jnp.where(ev, order[pos].astype(jnp.int32), e_dim - 1)
+    out["lv_edge_id"] = eid
+    out["lv_edge_valid"] = ev
+    out["lv_edge_src"] = jnp.where(ev, edge_src[eid], dump)
+    out["lv_edge_dst_slot"] = jnp.where(ev, edge_dst[eid] - lv_start[:, None].astype(jnp.int32), 0)
+
+    # edge -> (level, rank) flat slot: rank = sorted position - level start
+    inv = jnp.argsort(order)  # position of each edge in the sorted order
+    rank = inv.astype(jnp.int32) - estart_all[dst_lvl]
+    out["edge_lv_row"] = jnp.where(edge_valid, (dst_lvl - 1) * ep_dim + rank, 0)
+
+    # blocked-CSR whole-graph tables + degrees
+    fa = _blocked(edge_valid, edge_dst, edge_src, ebf, n_dim, e_dim, dump)
+    ra = _blocked(edge_valid, edge_src, edge_dst, ebr, n_dim, e_dim, dump)
+    out["fa_src"], out["fa_slot"], out["fa_valid"], out["fa_eid"] = fa
+    out["ra_src"], out["ra_slot"], out["ra_valid"], out["ra_eid"] = ra
+    out["deg_in"] = _slot_hist(fa[1], fa[2], n_dim)
+    out["deg_out"] = _slot_hist(ra[1], ra[2], n_dim)
+    return out

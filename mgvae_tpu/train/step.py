@@ -115,9 +115,29 @@ def rehydrate_split(batch):
     return out
 
 
+def rehydrate(batch):
+    """Rebuild whatever the wire omitted: split-batch globals
+    (rehydrate_split) and/or the thin-wire index tables
+    (data/rehydrate.derive_tables, marked by the zero-byte ``tdims``
+    placeholder). Every jitted loss path must funnel batches through this."""
+    if "groups" in batch and any("tdims" in gb for gb in batch["groups"]):
+        from ..data.rehydrate import derive_tables
+
+        batch = dict(batch)
+        batch["groups"] = tuple(
+            derive_tables(gb) if "tdims" in gb else gb for gb in batch["groups"]
+        )
+    batch = rehydrate_split(batch)
+    if "tdims" in batch:
+        from ..data.rehydrate import derive_tables
+
+        batch = derive_tables(batch)
+    return batch
+
+
 def loss_and_metrics(params, state, batch, rng, weights, cfg: DGConfig, train: bool):
     """weights: [w_recon, w_prob, w_func, w_kl]."""
-    batch = rehydrate_split(batch)
+    batch = rehydrate(batch)
     k_vae, k_neg, k_drop = jax.random.split(rng, 3)
     hs, hf, aux = forward(
         params, batch, cfg, rng=k_vae if cfg.variational else None,

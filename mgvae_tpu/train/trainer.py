@@ -32,6 +32,7 @@ from ..data.batching import (
     collate_split,
     collate_split_step,
 )
+from ..data.rehydrate import wire_drop
 from ..models.dg_ae import DGConfig, init_params
 from ..parallel.mesh import make_dp_mesh
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
@@ -99,9 +100,16 @@ class Trainer:
         fixed_dims: bool = True,
         steps_per_call: int = 8,
         split: int | str = "auto",
+        thin_wire: bool = True,
     ):
         self.args = args
         self.model_cfg = model_cfg
+        # Thin wire: drop collate's derived index tables (fa/ra, lv_*,
+        # masks, degrees — ~65% of the narrowed batch bytes) before the
+        # host->device transfer; the jitted step rebuilds them bit-exactly
+        # on device (data/rehydrate.derive_tables). Applies to unchunked
+        # non-split single-host batches; others keep the full wire.
+        self.thin_wire = thin_wire
         self.lr = lr
         self.lr_step = -1
         self.rc_prob_func_weight = list(rc_prob_func_weight)
@@ -418,15 +426,18 @@ class Trainer:
             shards = [chunk[d * self.batch_size : (d + 1) * self.batch_size] for d in range(self.num_devices)]
             batch = collate_shards(shards, dims=dims, num_chunks=C)
             if multihost:
-                batch = self._globalize(batch)
-            return batch
+                return self._globalize(batch)
+            return wire_drop(batch) if self.thin_wire else batch
         if dims is None and jax.default_backend() == "tpu":
             # auto-chunk big batches so training rides the fused kernel's
             # (chunk, level) grid instead of falling back to the XLA scan
-            return collate_fit(chunk)
-        if C > 1:
-            return collate_chunked(chunk, C, dims=dims)
-        return collate(chunk, dims=dims)
+            batch = collate_fit(chunk)
+        elif C > 1:
+            batch = collate_chunked(chunk, C, dims=dims)
+        else:
+            batch = collate(chunk, dims=dims)
+        # wire_drop refuses chunked batches itself (they keep the full wire)
+        return wire_drop(batch) if self.thin_wire else batch
 
     def _collate_split_shards(self, shards, dims: list, stacked: bool):
         """collate_split each shard at the epoch's agreed per-group dims.
@@ -441,10 +452,10 @@ class Trainer:
             # split) stay off the ~85 MB/s wire
             for k in SPLIT_WIRE_DERIVABLE:
                 big.pop(k, None)
-            return big
+            return wire_drop(big) if self.thin_wire else big
         b = collate_split(shards[0], len(dims), dims=dims)
         b.pop("node_inv", None)
-        return b
+        return wire_drop(b) if self.thin_wire else b
 
     def _update_dims_max(self, dataset, idx, n_steps, step_graphs):
         """Grow the running dims max over this epoch's actual shards (cheap

@@ -18,7 +18,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.dg_ae import DGConfig, forward
 from .gradnorm import BalancerConfig, balancer_init, balancer_scales, tree_norm
 from .losses import func_loss, prob_loss, recon_loss
-from .step import make_optimizer
+from .step import make_optimizer, rehydrate
 from .trainer import Trainer
 
 
@@ -26,6 +26,7 @@ def task_grads(cfg: DGConfig, params, state, batch, rng):
     """Three per-task gradients (recon/prob/func) in one traced step: the
     JAX equivalent of the reference's per-loss ``torch.autograd.grad`` calls
     (gradnorm.py:160-178). Returns (grads[3], losses[3], new_state, metrics)."""
+    batch = rehydrate(batch)
 
     def task_losses(params):
         k_vae, k_neg, k_drop = jax.random.split(rng, 3)
