@@ -1,56 +1,66 @@
 """Device-side rebuild of collate's derived index tables (wire thinning).
 
-Every index table `data/batching.collate` emits is a deterministic function
+Most index tables `data/batching.collate` emits are deterministic functions
 of four small inputs — `edge_src`, `edge_dst`, `lv_start`, and the n_*
 scalars — because the collate renumbers nodes LEVEL-MAJOR (batching.py:101)
 before building any table:
 
 - node rows of a level are the contiguous id range
-  [lv_start[l], lv_start[l+1]) -> `lv_nodes`/`lv_node_valid`/`forward_level`
-  are closed-form (iota + compare), no data needed;
+  [lv_start[l], lv_start[l+1]) -> `lv_nodes`/`lv_node_valid` and the three
+  validity masks are closed-form (iota + compare), no data needed;
 - the level-edge tables are the edges stable-sorted by
   (dst level, src, original index) (batching.py:131) and the blocked-CSR
   fa/ra tables are the edges stable-sorted by dst (resp. src) node block
-  (batching.py:365) -> one `jnp.argsort` each reproduces the exact layout,
-  and prefix counts (comparison-sums against the sorted keys) replace the
-  host's bincount/cumsum without a single TPU scatter;
-- degrees fall out of the blocked tables as per-block slot histograms
-  (one-hot einsum on the MXU).
+  (batching.py:365) -> one multi-operand `lax.sort` each reproduces the
+  exact layout (the sort network carries src/dst/eid payloads, so no
+  E-sized random gathers), and prefix counts (comparison-sums against the
+  sorted keys) replace the host's bincount/cumsum without a single TPU
+  scatter.
 
 Why: the tunneled chip moves ~85 MB/s host->device, and the derived tables
-are ~65% of a bs16 step's narrowed wire bytes (fa/ra 131 KB + lv_* 127 KB of
-407 KB per dp=8 step) — all permuted copies of the edge list that is on the
+are ~65% of a bs16 step's narrowed wire bytes (fa/ra 131 KB + lv_* 127 KB
+of a 407 KB step) — all permuted copies of the edge list that is on the
 wire anyway. Rebuilding them on device inside the jitted step trades a few
 hundred microseconds of sort/gather for those bytes, exactly like
-`train/step.rehydrate_split` does for split-batch globals. The host keeps
-building the tables (the C++ collate emits them in one pass); only the WIRE
-drops them.
+`train/step.rehydrate_split` does for split-batch globals. Measured
+on-chip (tmp/exp_r4_thinwire.py): 5.4x wire cut, steady-state bs16 e2e
+2029 vs 1892 g/s (+7%). The host keeps building the tables (the C++
+collate emits them in one pass); only the WIRE drops them.
+
+Cost calibration (on-chip section profile, tmp/exp_derive_prof*): sorts are
+nearly free (~60 us for 4), the cost is gathers + broadcast compare-sums.
+`forward_level` and `deg_in/out` therefore STAY on the wire: deriving them
+(an [N, L] compare-sum resp. per-block histograms) costs more device time
+than their few KB cost on a prefetch-hidden wire.
 
 Byte-identity with the host tables is load-bearing (the fused Pallas kernel
 ingests them raw) and is asserted by tests/test_rehydrate.py across
 modalities, dims overrides, and mp padding.
 
-Scope: flat UNCHUNKED batches (2-D level tables). Chunked ([C, L]) and
-multihost-globalized batches keep the full wire — `wire_drop` refuses them.
+Scope: flat UNCHUNKED batches (2-D level tables) and split-batch groups.
+Chunked ([C, L]) and multihost-globalized batches keep the full wire —
+`wire_drop` refuses them.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .batching import BLOCK_D
 
-# keys the device rebuilds bit-exactly (21) plus keys the train step never
+# keys the device rebuilds bit-exactly (18) plus keys the train step never
 # reads (3: graph_id / node_perm / node_inv, see api.py for their only
-# consumer) — all safe to leave off the train wire
+# consumer) — all safe to leave off the train wire. forward_level and
+# deg_in/out are kept on the wire (cheaper to ship than to derive, see
+# module docstring).
 DERIVED_KEYS = (
-    "node_valid", "forward_level", "edge_valid", "tt_valid",
+    "node_valid", "edge_valid", "tt_valid",
     "lv_nodes", "lv_node_valid",
     "lv_edge_src", "lv_edge_dst_slot", "lv_edge_valid", "lv_edge_id",
     "edge_lv_row",
     "fa_src", "fa_slot", "fa_valid", "fa_eid",
     "ra_src", "ra_slot", "ra_valid", "ra_eid",
-    "deg_in", "deg_out",
 )
 UNUSED_KEYS = ("graph_id", "node_perm", "node_inv")
 
@@ -93,11 +103,13 @@ def _blocked(edge_valid, by, other, eb: int, n_dim: int, e_dim: int, dump):
     """Device mirror of batching._blocked_tables: edges stable-sorted by
     `by` node (padding edges keyed to N so they sort last), per-block ranks
     from prefix counts against the sorted keys, tables gathered from the
-    sorted order. Returns (src, slot, valid, eid, order, sorted_key)."""
+    SORTED payloads (the sort carries them; only [nb, eb]-sized gathers
+    remain). Returns (src, slot, valid, eid)."""
     nb = n_dim // BLOCK_D
-    key = jnp.where(edge_valid, by, n_dim)
-    order = jnp.argsort(key)  # stable: ties keep original edge order
-    skey = key[order]
+    iota_e = jnp.arange(e_dim, dtype=jnp.int32)
+    key = jnp.where(edge_valid, by, n_dim).astype(jnp.int32)
+    # stable: ties keep original edge order, matching np.argsort(kind=stable)
+    skey, other_s, order = lax.sort((key, other.astype(jnp.int32), iota_e), num_keys=1)
     # bstart[b] = #edges in blocks < b; bstart[nb] excludes the padding keys
     bounds = jnp.arange(nb + 1, dtype=jnp.int32) * BLOCK_D
     bstart = jnp.sum(skey[None, :] < bounds[:, None], axis=1, dtype=jnp.int32)
@@ -105,18 +117,11 @@ def _blocked(edge_valid, by, other, eb: int, n_dim: int, e_dim: int, dump):
     s = jnp.arange(eb, dtype=jnp.int32)[None, :]
     valid = s < cnt[:, None]
     pos = jnp.clip(bstart[:-1, None] + s, 0, e_dim - 1)
-    eid = jnp.where(valid, order[pos].astype(jnp.int32), e_dim - 1)
-    src = jnp.where(valid, other[eid], dump)
+    eid = jnp.where(valid, order[pos], e_dim - 1)
+    src = jnp.where(valid, other_s[pos], dump)
     blk0 = jnp.arange(nb, dtype=jnp.int32)[:, None] * BLOCK_D
-    slot = jnp.where(valid, by[eid] - blk0, 0)
+    slot = jnp.where(valid, skey[pos] - blk0, 0)  # valid rows: skey == by
     return src, slot, valid, eid
-
-
-def _slot_hist(slot, valid, n_dim: int):
-    """deg per node from a blocked table: per-block histogram over the
-    BLOCK_D local slots as a one-hot einsum (exact small-int f32)."""
-    oh = (slot[..., None] == jnp.arange(BLOCK_D, dtype=jnp.int32)).astype(jnp.float32)
-    return jnp.einsum("be,bec->bc", valid.astype(jnp.float32), oh).reshape(n_dim)
 
 
 def derive_tables(batch: dict) -> dict:
@@ -128,6 +133,7 @@ def derive_tables(batch: dict) -> dict:
     np_dim, ep_dim, ebf, ebr = (int(d) for d in batch["tdims"].shape[-4:])
     gate, lv_start = batch["gate"], batch["lv_start"]
     edge_src, edge_dst = batch["edge_src"], batch["edge_dst"]
+    fwd = batch["forward_level"]  # wire-kept (cheaper shipped than derived)
     n_dim, e_dim, l_dim = gate.shape[-1], edge_src.shape[-1], lv_start.shape[-1]
     n, e = batch["n_nodes"], batch["n_edges"]
     dump = n.astype(jnp.int32)  # first padding node (collate: dump = n)
@@ -135,21 +141,17 @@ def derive_tables(batch: dict) -> dict:
     out = dict(batch)
     out.pop("tdims")
     iota_n = jnp.arange(n_dim, dtype=jnp.int32)
+    iota_e = jnp.arange(e_dim, dtype=jnp.int32)
     node_valid = iota_n < n
-    edge_valid = jnp.arange(e_dim, dtype=jnp.int32) < e
+    edge_valid = iota_e < e
     out["node_valid"] = node_valid
     out["edge_valid"] = edge_valid
     if "tt_pair_a" in batch:  # split GROUPS carry no tt keys (global losses)
         p_dim = batch["tt_pair_a"].shape[-1]
         out["tt_valid"] = jnp.arange(p_dim, dtype=jnp.int32) < batch["n_tt"]
 
-    # level of node v = #{l : lv_start[l] <= v} (level-major contiguity);
-    # padded lv_start rows equal n so they never count for valid nodes
-    fwd = jnp.sum(iota_n[:, None] >= lv_start[None, :], axis=1, dtype=jnp.int32)
-    fwd = jnp.where(node_valid, fwd, 0)
-    out["forward_level"] = fwd
-
-    # node rows: level l+1 occupies [lv_start[l], nxt[l])
+    # node rows: level l+1 occupies [lv_start[l], nxt[l]) (level-major
+    # contiguity; padded lv_start rows equal n, so their counts are 0)
     nxt = jnp.concatenate([lv_start[1:], n[None].astype(lv_start.dtype)])
     s_np = jnp.arange(np_dim, dtype=jnp.int32)[None, :]
     lv_cnt = (nxt - lv_start).astype(jnp.int32)[:, None]
@@ -158,13 +160,18 @@ def derive_tables(batch: dict) -> dict:
     out["lv_nodes"] = jnp.where(lv_node_valid, lv_start[:, None].astype(jnp.int32) + s_np, dump)
 
     # level-edge tables: stable sort by (dst level, src, original index) —
-    # batching.py:131's lexsort. Padding edges key to 0 (level 0 holds no
-    # real edges: any edge dst has level >= 1) and are skipped by counting
-    # from level value 1 up.
+    # batching.py:131's lexsort, as one multi-operand sort carrying the
+    # src/dst/eid payloads. Padding edges key to 0 (level 0 holds no real
+    # edges: any edge dst has level >= 1) and are skipped by counting from
+    # level value 1 up.
     dst_lvl = jnp.where(edge_valid, fwd[edge_dst], 0)
     key = dst_lvl * n_dim + edge_src
-    order = jnp.argsort(key)
-    slvl = dst_lvl[order]
+    skey, src_s, dst_s, order = lax.sort(
+        (key.astype(jnp.int32), edge_src.astype(jnp.int32),
+         edge_dst.astype(jnp.int32), iota_e),
+        num_keys=1,
+    )
+    slvl = skey // n_dim
     lv_vals = jnp.arange(l_dim + 1, dtype=jnp.int32)
     # estart_all[v] = #sorted positions with level < v (v in 0..L). Padding
     # edges key to level 0 and sort first, so estart_all[1] == E - e and all
@@ -175,22 +182,19 @@ def derive_tables(batch: dict) -> dict:
     s_ep = jnp.arange(ep_dim, dtype=jnp.int32)[None, :]
     ev = s_ep < ecnt_rows[:, None]
     pos = jnp.clip(estart[:, None] + s_ep, 0, e_dim - 1)
-    eid = jnp.where(ev, order[pos].astype(jnp.int32), e_dim - 1)
-    out["lv_edge_id"] = eid
+    out["lv_edge_id"] = jnp.where(ev, order[pos], e_dim - 1)
     out["lv_edge_valid"] = ev
-    out["lv_edge_src"] = jnp.where(ev, edge_src[eid], dump)
-    out["lv_edge_dst_slot"] = jnp.where(ev, edge_dst[eid] - lv_start[:, None].astype(jnp.int32), 0)
+    out["lv_edge_src"] = jnp.where(ev, src_s[pos], dump)
+    out["lv_edge_dst_slot"] = jnp.where(ev, dst_s[pos] - lv_start[:, None].astype(jnp.int32), 0)
 
     # edge -> (level, rank) flat slot: rank = sorted position - level start
     inv = jnp.argsort(order)  # position of each edge in the sorted order
     rank = inv.astype(jnp.int32) - estart_all[dst_lvl]
     out["edge_lv_row"] = jnp.where(edge_valid, (dst_lvl - 1) * ep_dim + rank, 0)
 
-    # blocked-CSR whole-graph tables + degrees
+    # blocked-CSR whole-graph aggregation tables
     fa = _blocked(edge_valid, edge_dst, edge_src, ebf, n_dim, e_dim, dump)
     ra = _blocked(edge_valid, edge_src, edge_dst, ebr, n_dim, e_dim, dump)
     out["fa_src"], out["fa_slot"], out["fa_valid"], out["fa_eid"] = fa
     out["ra_src"], out["ra_slot"], out["ra_valid"], out["ra_eid"] = ra
-    out["deg_in"] = _slot_hist(fa[1], fa[2], n_dim)
-    out["deg_out"] = _slot_hist(ra[1], ra[2], n_dim)
     return out

@@ -116,14 +116,16 @@ def bench_e2e(bs, split, tag):
         tr = Trainer(args, cfg, training_id=f"tw_{tag}_{thin}",
                      save_dir="/tmp/exp_thinwire", lr=1e-4, batch_size=bs,
                      distributed=False, seed=3, split=split, thin_wire=thin)
-        tr.train(2, ds, ds[:bs])  # compiles
-        t0 = time.perf_counter()
-        m = tr.train(8, ds, ds[:bs])
-        dt = time.perf_counter() - t0
-        steps = (len(ds) // bs) * 8
-        gps = steps * bs / dt
+        tr.train(4, ds, ds[:bs])  # compiles + dims running-max convergence
+        best = 1e9
+        for _ in range(5):  # per-epoch timing, best-of (late recompiles skew means)
+            t0 = time.perf_counter()
+            m = tr.train(1, ds, ds[:bs])
+            best = min(best, time.perf_counter() - t0)
+        steps = len(ds) // bs
+        gps = steps * bs / best
         assert np.isfinite(m["recon"]), f"{tag} thin={thin}: non-finite recon"
-        log(f"[{tag} thin={thin}] split={tr._split} 8 epochs {dt:.2f}s -> "
+        log(f"[{tag} thin={thin}] split={tr._split} best epoch {best:.2f}s -> "
             f"{gps:.0f} g/s e2e (recon {m['recon']:.4f})")
 
 
