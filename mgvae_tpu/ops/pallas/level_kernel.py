@@ -47,7 +47,17 @@ _CHUNK_BYTES = 2 * 1024 * 1024  # VMEM budget for one one-hot gather block
 
 def _pick_chunk(ep: int, n: int, budget: int = _CHUNK_BYTES) -> int:
     """N-axis chunk for the one-hot gather/scatter matmuls: bound the
-    [Ep, chunk] f32 block to ~budget bytes of VMEM, floor 512, lane-aligned."""
+    [Ep, chunk] f32 block to ~budget bytes of VMEM, floor 512, lane-aligned.
+    The chunk is also the GRANULARITY of the source-window guards: per level
+    only the chunks overlapping [smin, smax) run their compare+matmul, so a
+    smaller chunk wastes less one-hot work when the window (fanin locality,
+    ~2-4 levels) is narrower than the chunk. MGVAE_NCHUNK forces an exact
+    value for sweeps (tmp/exp_r5_chunk.py)."""
+    import os
+
+    forced = os.environ.get("MGVAE_NCHUNK")
+    if forced:
+        return min(int(forced), _round_up(n, LANE))
     c = max(512, min(2048, budget // max(ep * 4, 1)))
     c = (c // LANE) * LANE
     return min(c, _round_up(n, LANE))
@@ -83,6 +93,37 @@ def _segment_windows(lv_src, lv_evalid, lv_start, S, N):
     smin = jnp.min(jnp.where(val_s, src_s, N), axis=2).astype(jnp.int32)   # [CL, S]
     smax = (jnp.max(jnp.where(val_s, src_s, -1), axis=2) + 1).astype(jnp.int32)
     return jnp.concatenate([lv_start[None], smin.T, smax.T], axis=0)
+
+
+def _narrow_dims(ep: int, np_: int) -> tuple[int, int, bool]:
+    """Narrow-tier dims: collate packs each level's valid edges at rows
+    [0, n_e) and valid nodes at slots [0, n_n) (data/batching.py rank
+    fill), so levels whose counts fit a 128-row tile can run the whole
+    body on a [EpN, NpN] slice. Returns (EpN, NpN, tiered).
+    MGVAE_NO_TIER=1 disables (A/B experiments, tmp/exp_r5_chunk.py)."""
+    import os
+
+    if os.environ.get("MGVAE_NO_TIER"):
+        return ep, np_, False
+    epn = LANE if ep > LANE else ep
+    npn = LANE if np_ > LANE else np_
+    return epn, npn, (epn < ep) or (npn < np_)
+
+
+def _class_table(lv_evalid, lv_upd, start_tbl, S, N, EpN, NpN):
+    """Append 3 rows to the [1+2S, CL] window table: per-level CLASS
+    (0 = fully padded, 1 = narrow: n_e<=EpN and n_n<=NpN, 2 = full) and
+    the level-GLOBAL source window (lo, hi) the narrow body uses as its
+    single segment. Row layout after this: [.. windows .., cls, glo, ghi]."""
+    n_e = jnp.sum((lv_evalid > 0).astype(jnp.int32), axis=1)
+    n_n = jnp.sum((lv_upd > 0).astype(jnp.int32), axis=1)
+    cls = jnp.where(
+        (n_e == 0) & (n_n == 0), 0,
+        jnp.where((n_e <= EpN) & (n_n <= NpN), 1, 2),
+    ).astype(jnp.int32)
+    glo = jnp.min(start_tbl[1 : 1 + S], axis=0)
+    ghi = jnp.max(start_tbl[1 + S : 1 + 2 * S], axis=0)
+    return jnp.concatenate([start_tbl, cls[None], glo[None], ghi[None]], axis=0)
 
 
 def _prec_ctx(precision: str | None):
@@ -186,17 +227,26 @@ def fused_level_scan(
     # either way).
     S = _pick_segments(Ep)
     start_tbl = _segment_windows(lv_src, lv_evalid, lv_start, S, N)
+    # per-level CLASS dispatch (round 5): fully-padded levels skip the body
+    # entirely; levels whose valid counts fit a 128-row tile run it on a
+    # [EpN, NpN] slice (bit-identical math — all valid rows are in-slice).
+    # Real DAGs taper, so the deep tail of every batch is narrow.
+    EpN, NpN, tiered = _narrow_dims(Ep, Np)
+    start_tbl = _class_table(lv_evalid, lv_upd, start_tbl, S, N, EpN, NpN)
 
     # two levels per grid step: amortizes the block-change machinery
-    # (marginal win; the per-level floor is the level's own VPU math)
-    LPS = 2 if L % 2 == 0 else 1
+    # (marginal win; the per-level floor is the level's own VPU math).
+    # Tiered grids keep LPS=1: the dispatch doubles body code per step and
+    # LPS=2 measured neutral anyway.
+    LPS = 2 if (L % 2 == 0 and not tiered) else 1
     n_chunk = _pick_chunk(Ep, N)
     EW = _round_up(3 * D + 1, LANE)   # residual widths (lane-padded)
     NW = _round_up(4 * D, LANE)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     hf_shape = jax.ShapeDtypeStruct((C * N, D), pack_lv.dtype)
     kernel = functools.partial(_level_kernel, N=N, D=D, T=T, Ep=Ep, Np=Np,
-                               n_chunk=n_chunk, L=L, LPS=LPS, EW=EW, NW=NW, S=S)
+                               n_chunk=n_chunk, L=L, LPS=LPS, EW=EW, NW=NW, S=S,
+                               EpN=EpN, NpN=NpN, tiered=tiered)
     row_spec = lambda blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     hf_spec = pl.BlockSpec((N, D), lambda i: (i // (L // LPS), 0), memory_space=pltpu.VMEM)
     if with_residuals:
@@ -245,7 +295,8 @@ def _level_kernel(
     start_ref, pack_ref, edge_tbl_ref, node_tbl_ref,
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     hf_ref, res_e_ref=None, res_n_ref=None,
-    *, N, D, T, Ep, Np, n_chunk, L, LPS, EW, NW, S,
+    *, N, D, T, Ep, Np, n_chunk, L, LPS, EW, NW, S, EpN=None, NpN=None,
+    tiered=False,
 ):
     i = pl.program_id(0)
 
@@ -258,13 +309,33 @@ def _level_kernel(
     for j in range(LPS):
         r = i * LPS + j
         win = [(start_ref[1 + s_, r], start_ref[1 + S + s_, r]) for s_ in range(S)]
-        _level_body(
-            start_ref[0, r], pack_ref[j], edge_tbl_ref[j], node_tbl_ref[j],
-            wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
-            N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk,
-            res_e_ref=res_e_ref, res_n_ref=res_n_ref, res_idx=(j,), EW=EW, NW=NW,
-            win=win,
-        )
+
+        def run(ep, np_, w):
+            _level_body(
+                start_ref[0, r], pack_ref[j][:ep], edge_tbl_ref[j][:ep],
+                node_tbl_ref[j][:np_],
+                wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref, hf_ref,
+                N=N, D=D, T=T, Ep=ep, Np=np_, n_chunk=n_chunk,
+                res_e_ref=res_e_ref, res_n_ref=res_n_ref, res_idx=(j,),
+                EW=EW, NW=NW, win=w,
+            )
+
+        if not tiered:
+            run(Ep, Np, win)
+            continue
+        cls = start_ref[1 + 2 * S, r]
+        gwin = [(start_ref[2 + 2 * S, r], start_ref[3 + 2 * S, r])]
+
+        # cls 0 (fully padded): nothing to do — the would-be body is all
+        # masked no-ops (residual rows stay garbage; the backward skips
+        # cls-0 levels too, so they are never read)
+        @pl.when(cls == 1)
+        def _():
+            run(EpN, NpN, gwin)
+
+        @pl.when(cls == 2)
+        def _():
+            run(Ep, Np, win)
 
 
 def _level_body(
@@ -372,11 +443,13 @@ def _level_body(
                    attn.astype(vdt)]
         if EW > 3 * D + 1:  # Mosaic rejects zero-size vectors
             parts_e.append(jnp.zeros((Ep, EW - 3 * D - 1), vdt))
-        res_e_ref[res_idx] = jnp.concatenate(parts_e, axis=1)
+        # row-sliced writes: the narrow tier only owns rows [0, Ep) of the
+        # residual block (the backward reads the same slice, same class)
+        res_e_ref[res_idx + (pl.ds(0, Ep),)] = jnp.concatenate(parts_e, axis=1)
         parts_n = [msg.astype(vdt), r.astype(vdt), z.astype(vdt), nw.astype(vdt)]
         if NW > 4 * D:
             parts_n.append(jnp.zeros((Np, NW - 4 * D), vdt))
-        res_n_ref[res_idx] = jnp.concatenate(parts_n, axis=1)
+        res_n_ref[res_idx + (pl.ds(0, Np),)] = jnp.concatenate(parts_n, axis=1)
 
     # step-kernel variant (pallas_level_step): emit h_new for the caller to
     # scatter in XLA — the mp-sharded path all_gathers these slices between
@@ -443,6 +516,11 @@ def fused_level_scan_bwd(
     # scatter only touches each segment's own tile range
     S = _pick_segments(Ep)
     start_tbl = _segment_windows(lv_src, lv_evalid, lv_start, S, N)
+    # class dispatch mirrors the forward EXACTLY (same table math), so the
+    # narrow backward reads precisely the residual rows the narrow forward
+    # wrote; cls-0 levels only zero their d_pack block
+    EpN, NpN, tiered = _narrow_dims(Ep, Np)
+    start_tbl = _class_table(lv_evalid, lv_upd, start_tbl, S, N, EpN, NpN)
 
     # the backward holds ghf blocks plus larger intermediates; halve the
     # one-hot chunk budget to stay inside scoped VMEM at kernel_fits dims
@@ -452,7 +530,8 @@ def fused_level_scan_bwd(
     vdt = pack_lv.dtype   # value dtype (bf16 in throughput mode)
     f32 = jnp.float32     # weight-grad accumulators stay f32 across levels
     kernel = functools.partial(_level_bwd_kernel, N=N, D=D, T=T, Ep=Ep,
-                               Np=Np, n_chunk=n_chunk, L=L, S=S)
+                               Np=Np, n_chunk=n_chunk, L=L, S=S,
+                               EpN=EpN, NpN=NpN, tiered=tiered)
     # grid step i -> table row (i//L)*L + (L-1 - i%L): chunks forward,
     # levels within each chunk reversed
     rrow = lambda i, L=L: (i // L) * L + (L - 1 - i % L)
@@ -507,7 +586,7 @@ def _level_bwd_kernel(
     pack_ref, edge_tbl_ref, node_tbl_ref,
     wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
     dpack_ref, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref, ghf_ref,
-    *, N, D, T, Ep, Np, n_chunk, L, S,
+    *, N, D, T, Ep, Np, n_chunk, L, S, EpN=None, NpN=None, tiered=False,
 ):
     i = pl.program_id(0)
     row = (i // L) * L + (L - 1 - i % L)
@@ -527,14 +606,36 @@ def _level_bwd_kernel(
         dwak_ref[:] = jnp.zeros_like(dwak_ref)
 
     win = [(start_ref[1 + s_, row], start_ref[1 + S + s_, row]) for s_ in range(S)]
-    _level_bwd_body(
-        start, res_e_ref[0], res_n_ref[0], pack_ref[0],
-        edge_tbl_ref[0], node_tbl_ref[0],
-        wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
-        dpack_ref, (0,), dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref,
-        ghf_ref, N=N, D=D, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk,
-        win=win,
-    )
+
+    def run(ep, np_, w):
+        _level_bwd_body(
+            start, res_e_ref[0][:ep], res_n_ref[0][:np_], pack_ref[0][:ep],
+            edge_tbl_ref[0][:ep], node_tbl_ref[0][:np_],
+            wkv_hf_ref, w_ih_ref, b_hh_ref, wa_k_ref,
+            dpack_ref, (0,), dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref,
+            ghf_ref, N=N, D=D, T=T, Ep=ep, Np=np_, n_chunk=n_chunk,
+            win=w,
+        )
+
+    if not tiered:
+        run(Ep, Np, win)
+        return
+    cls = start_ref[1 + 2 * S, row]
+    gwin = [(start_ref[2 + 2 * S, row], start_ref[3 + 2 * S, row])]
+
+    # narrow/empty levels own only rows [0, EpN) of their d_pack block —
+    # the rest of the OUTPUT block must be explicitly zeroed
+    @pl.when(cls < 2)
+    def _():
+        dpack_ref[0] = jnp.zeros_like(dpack_ref)[0]
+
+    @pl.when(cls == 1)
+    def _():
+        run(EpN, NpN, gwin)
+
+    @pl.when(cls == 2)
+    def _():
+        run(Ep, Np, win)
 
 
 def _level_bwd_body(
@@ -647,7 +748,9 @@ def _level_bwd_body(
 
     # ---------- pack grads + upstream hf cotangent --------------------------
     zeros_rest = jnp.zeros((Ep, pack.shape[1] - D - 1), vdt)
-    dpack_ref[dpack_idx] = jnp.concatenate(
+    # row-sliced write: the narrow tier owns rows [0, Ep) of the d_pack
+    # block (the caller zeroes the tail rows before dispatching it)
+    dpack_ref[dpack_idx + (pl.ds(0, Ep),)] = jnp.concatenate(
         [dv.astype(vdt), dscore.astype(vdt), zeros_rest], axis=1
     )
 

@@ -227,3 +227,51 @@ def test_step_kernel_fallback_chunked(monkeypatch):
     b, _ = jax.flatten_util.ravel_pytree(g_s)
     scale = float(jnp.abs(a).max())
     assert float(jnp.abs(a - b).max()) < 1e-4 * max(scale, 1.0)
+
+
+def test_tiered_class_dispatch_matches_xla():
+    """Round-5 per-level class dispatch (empty/narrow/full tiers): a batch
+    whose level tables mix wide levels (Ep > 128, Np > 128), a narrow deep
+    tail, and bucket-padded empty levels must hit all three kernel classes
+    and stay bit-faithful to the XLA path in BOTH forward and VJP."""
+    import jax.flatten_util
+
+    from mgvae_tpu.data.synthetic import layered_circuit
+    from mgvae_tpu.ops.pallas.level_kernel import _narrow_dims
+
+    cfg = DGConfig(modality="mig", dim_hidden=64, layernorm=True)
+    params, _ = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    g_wide = layered_circuit(rng, "mig", width=144, depth=4)
+    g_deep = random_circuit(rng, "mig", num_inputs=4, num_gates=120)
+    batch = jax.tree.map(jnp.asarray, collate([g_wide, g_deep]))
+
+    # the fixture must actually exercise the tier machinery
+    ev = np.asarray(batch["lv_edge_valid"])
+    nv = np.asarray(batch["lv_node_valid"])
+    ep, np_ = ev.shape[1], nv.shape[1]
+    epn, npn, tiered = _narrow_dims(ep, np_)
+    assert tiered, (ep, np_)
+    ne, nn = ev.sum(1), nv.sum(1)
+    cls = np.where((ne == 0) & (nn == 0), 0,
+                   np.where((ne <= epn) & (nn <= npn), 1, 2))
+    assert {1, 2} <= set(cls.tolist()), cls
+
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (batch["gate"].shape[0], 64))
+
+    def loss(params, use_pallas):
+        hs, hf, _ = forward(params, batch, cfg, use_pallas=use_pallas,
+                            pallas_interpret=True)
+        m = batch["node_valid"][:, None]
+        return (jnp.sum(jnp.where(m, (hf - tgt) ** 2, 0.0))
+                + 0.01 * jnp.sum(jnp.where(m, hs, 0.0))), hf
+
+    (_, hf_x), g_x = jax.value_and_grad(lambda p: loss(p, False), has_aux=True)(params)
+    (_, hf_p), g_p = jax.value_and_grad(lambda p: loss(p, True), has_aux=True)(params)
+    n = int(batch["n_nodes"])
+    np.testing.assert_allclose(np.asarray(hf_p[:n]), np.asarray(hf_x[:n]),
+                               rtol=1e-4, atol=1e-5)
+    a, _ = jax.flatten_util.ravel_pytree(g_x)
+    b, _ = jax.flatten_util.ravel_pytree(g_p)
+    scale = float(jnp.abs(a).max())
+    assert float(jnp.abs(a - b).max()) < 1e-4 * max(scale, 1.0)
