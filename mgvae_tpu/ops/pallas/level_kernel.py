@@ -854,10 +854,25 @@ def kernel_fits_hbm(num_nodes: int, ep: int, np_: int, dim: int) -> bool:
 # train step is known-good at N=102,912 (~400 ms/step,
 # examples/giant_circuit_training.py) but an N=1M (L=2001) compile hung
 # >50 min client-side, and killing it wedged the SHARED remote compile
-# service for >1.5 h. Refuse to launch past the measured-safe ceiling
-# unless explicitly overridden — a hung compile here is a service outage,
-# not just a slow call.
+# service for >1.5 h. Root cause (round-5 analysis): the kernel body UNROLLS
+# its chunk loops — at N=1M that is ~490 guarded DMA+matmul blocks per loop,
+# three loops per grid step, which explodes the Mosaic program. Past this
+# ceiling the kernels now switch to DYNAMIC (fori_loop) chunk loops whose
+# program size is O(1) in N (round-5); the static unrolled variant — which
+# pipelines slightly better at small N — keeps the hard guard.
 HBM_COMPILE_SAFE_NODES = 131_072
+
+
+def _hbm_dynamic(num_nodes: int) -> bool:
+    """Use the O(1)-program dynamic-loop variant? Automatic past the static
+    compile ceiling; MGVAE_HBM_DYNAMIC=1 forces it everywhere (A/B)."""
+    import os
+
+    if os.environ.get("MGVAE_HBM_DYNAMIC"):
+        return True
+    if os.environ.get("MGVAE_UNSAFE_GIANT_COMPILE"):
+        return False  # explicit request for the static unrolled compile
+    return num_nodes > HBM_COMPILE_SAFE_NODES
 
 
 def _guard_compile_scale(num_nodes: int) -> None:
@@ -867,7 +882,7 @@ def _guard_compile_scale(num_nodes: int) -> None:
         "MGVAE_UNSAFE_GIANT_COMPILE"
     ):
         raise ValueError(
-            f"HBM level-kernel compile at N={num_nodes} exceeds the "
+            f"HBM level-kernel STATIC compile at N={num_nodes} exceeds the "
             f"measured-safe ceiling ({HBM_COMPILE_SAFE_NODES}): a larger "
             "compile has wedged the remote TPU compile service for hours. "
             "Set MGVAE_UNSAFE_GIANT_COMPILE=1 to override (dedicated "
@@ -915,7 +930,8 @@ def _level_scan_hbm_padded(
     Np = lv_nodes.shape[1]
     D, T = dim, num_experts
     N = num_nodes
-    if not interpret:
+    dyn = _hbm_dynamic(N)
+    if not interpret and not dyn:
         _guard_compile_scale(N)
 
     raw_smin = jnp.min(jnp.where(lv_evalid > 0, lv_src, N), axis=1)
@@ -935,7 +951,8 @@ def _level_scan_hbm_padded(
     n_chunk = _pick_chunk_divisor(Ep, N)
     DW = _round_up(D, LANE)   # hf lane-padded: DMA cannot slice a <128 lane dim
     kernel = functools.partial(
-        _level_kernel_hbm, N=N, D=D, DW=DW, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk
+        _level_kernel_hbm, N=N, D=D, DW=DW, T=T, Ep=Ep, Np=Np, n_chunk=n_chunk,
+        dyn=dyn,
     )
     row_spec = lambda blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -973,7 +990,7 @@ def _level_kernel_hbm(
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     hf_ref,                     # ANY/HBM [N, DW] (lane-padded)
     chunk_v, dma_sem,
-    *, N, D, DW, T, Ep, Np, n_chunk,
+    *, N, D, DW, T, Ep, Np, n_chunk, dyn=False,
 ):
     i = pl.program_id(0)
     start = start_ref[0, i]
@@ -984,7 +1001,9 @@ def _level_kernel_hbm(
     vdt = pack_ref.dtype
     f32 = jnp.float32
 
-    # n_chunk divides N exactly: every DMA moves one full buffer slot
+    # n_chunk divides N exactly: every DMA moves one full buffer slot.
+    # ``dyn``: chunk indices may be traced values (fori_loop chunk loops,
+    # O(1) program size in N — the giant-graph compile-boundedness fix).
     def dma_in(c, slot):
         return pltpu.make_async_copy(
             hf_ref.at[pl.ds(c, n_chunk), :], chunk_v.at[slot], dma_sem.at[slot]
@@ -1005,8 +1024,14 @@ def _level_kernel_hbm(
     @pl.when(i == 0)
     def _():
         chunk_v[0] = jnp.zeros_like(chunk_v[0])
-        for c in range(0, N, n_chunk):
-            store_chunk(c)
+        if dyn:
+            jax.lax.fori_loop(
+                0, N // n_chunk,
+                lambda ci, _: (store_chunk(ci * n_chunk), 0)[1], 0,
+            )
+        else:
+            for c in range(0, N, n_chunk):
+                store_chunk(c)
 
     pack = pack_ref[0]
     vhs = pack[:, :D].astype(f32)
@@ -1024,8 +1049,35 @@ def _level_kernel_hbm(
     chunks = list(range(0, N, n_chunk))
     in_win = lambda c: (c < start) & (c + n_chunk > smin)
 
+    def gather_compute(acc_ref, c, slot):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
+        onehot = (src == cols).astype(vdt)
+        acc_ref[:] += jnp.dot(onehot, chunk_v[slot], preferred_element_type=f32)[:, :D]
+
     def body_gather(acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        if dyn:
+            # dynamic window loop: chunk indices traced, double-buffered via
+            # an alternating slot carried through the fori_loop
+            c_lo = smin // n_chunk
+            c_hi = jnp.where(smin < start, (start + n_chunk - 1) // n_chunk, c_lo)
+
+            @pl.when(c_lo < c_hi)
+            def _():
+                dma_in(c_lo * n_chunk, 0).start()
+
+            def gbody(ci, slot):
+                @pl.when(ci + 1 < c_hi)
+                def _():
+                    dma_in((ci + 1) * n_chunk, 1 - slot).start()
+
+                dma_in(ci * n_chunk, slot).wait()
+                gather_compute(acc_ref, ci * n_chunk, slot)
+                return 1 - slot
+
+            jax.lax.fori_loop(c_lo, c_hi, gbody, 0)
+            return acc_ref[:]
 
         for idx, c in enumerate(chunks):
             # chunk containing smin (window nonempty): start the chain
@@ -1045,9 +1097,7 @@ def _level_kernel_hbm(
                     def _():
                         dma_in(nxt, 1 - slot).start()
                 dma_in(c, slot).wait()
-                cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
-                onehot = (src == cols).astype(vdt)
-                acc_ref[:] += jnp.dot(onehot, chunk_v[slot], preferred_element_type=f32)[:, :D]
+                gather_compute(acc_ref, c, slot)
         return acc_ref[:]
 
     hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
@@ -1095,19 +1145,31 @@ def _level_kernel_hbm(
     # scatter-add: read chunk, add contribution, write back
     nodes = nodes_ref[0]
     h_new_w = jnp.concatenate([h_new, jnp.zeros((Np, DW - D), f32)], axis=1) if DW > D else h_new
-    for c in range(0, N, n_chunk):
 
-        @pl.when((start < c + n_chunk) & (start + Np > c))
-        def _():
-            load_chunk(c)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (Np, n_chunk), 1) + c
-            onehot = ((nodes == cols) & upd_b).astype(vdt)
-            out = jax.lax.dot_general(
-                onehot, h_new_w.astype(vdt), dimension_numbers=_DN_T,
-                preferred_element_type=f32
-            )
-            chunk_v[:] += out if vdt == f32 else out.astype(vdt)
-            store_chunk(c)
+    def scatter_rmw(c):
+        load_chunk(c)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Np, n_chunk), 1) + c
+        onehot = ((nodes == cols) & upd_b).astype(vdt)
+        out = jax.lax.dot_general(
+            onehot, h_new_w.astype(vdt), dimension_numbers=_DN_T,
+            preferred_element_type=f32
+        )
+        chunk_v[0] += out if vdt == f32 else out.astype(vdt)
+        store_chunk(c)
+
+    if dyn:
+        # the level's update range [start, start+Np) overlaps a short
+        # consecutive chunk run; padded levels (start=0, upd all-false)
+        # RMW a couple of chunks with zero adds — harmless
+        s_lo = start // n_chunk
+        s_hi = jnp.minimum((start + Np + n_chunk - 1) // n_chunk, N // n_chunk)
+        jax.lax.fori_loop(s_lo, s_hi, lambda ci, _: (scatter_rmw(ci * n_chunk), 0)[1], 0)
+    else:
+        for c in range(0, N, n_chunk):
+
+            @pl.when((start < c + n_chunk) & (start + Np > c))
+            def _(c=c):
+                scatter_rmw(c)
 
 
 # ===========================================================================
@@ -1140,7 +1202,8 @@ def fused_level_scan_hbm_bwd(
     D, T = dim, num_experts
     N = num_nodes
     DW = hf_pad.shape[1]
-    if not interpret:
+    dyn = _hbm_dynamic(N)
+    if not interpret and not dyn:
         _guard_compile_scale(N)
 
     raw_smin = jnp.min(jnp.where(lv_evalid > 0, lv_src, N), axis=1)
@@ -1154,7 +1217,7 @@ def fused_level_scan_hbm_bwd(
     n_chunk = _pick_chunk_divisor(Ep, N)
     kernel = functools.partial(
         _level_bwd_kernel_hbm, N=N, D=D, DW=DW, T=T, Ep=Ep, Np=Np,
-        n_chunk=n_chunk, L=L,
+        n_chunk=n_chunk, L=L, dyn=dyn,
     )
     rev = lambda blk: pl.BlockSpec(blk, lambda i: (L - 1 - i,) + (0,) * (len(blk) - 1), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1213,7 +1276,7 @@ def _level_bwd_kernel_hbm(
     wkv_hf_ref, w_ih_ref, b_ih_ref, b_hh_ref, wa_k_ref,
     dpack_ref, dwkv_ref, dwih_ref, dbih_ref, dbhh_ref, dwak_ref, ghf_hbm_ref,
     hf_buf, g_buf, hf_sem, g_sem,
-    *, N, D, DW, T, Ep, Np, n_chunk, L,
+    *, N, D, DW, T, Ep, Np, n_chunk, L, dyn=False,
 ):
     i = pl.program_id(0)
     start = start_ref[0, L - 1 - i]
@@ -1254,8 +1317,33 @@ def _level_bwd_kernel_hbm(
     # ---------- recompute hf_src: double-buffered stream of the SOURCE
     # WINDOW [smin, start) (a contiguous chunk run; the chunk containing
     # smin seeds the DMA chain, each chunk prefetches its successor) -------
+    def gather_compute(acc_ref, c, slot):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
+        onehot = (src == cols).astype(vdt)
+        acc_ref[:] += jnp.dot(onehot, hf_buf[slot], preferred_element_type=f32)[:, :D]
+
     def body_gather(acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        if dyn:
+            c_lo = smin // n_chunk
+            c_hi = jnp.where(smin < start, (start + n_chunk - 1) // n_chunk, c_lo)
+
+            @pl.when(c_lo < c_hi)
+            def _():
+                dma_hf(c_lo * n_chunk, 0).start()
+
+            def gbody(ci, slot):
+                @pl.when(ci + 1 < c_hi)
+                def _():
+                    dma_hf((ci + 1) * n_chunk, 1 - slot).start()
+
+                dma_hf(ci * n_chunk, slot).wait()
+                gather_compute(acc_ref, ci * n_chunk, slot)
+                return 1 - slot
+
+            jax.lax.fori_loop(c_lo, c_hi, gbody, 0)
+            return acc_ref[:]
 
         for idx, c in enumerate(chunks):
             @pl.when((c <= smin) & (smin < c + n_chunk) & (smin < start))
@@ -1274,9 +1362,7 @@ def _level_bwd_kernel_hbm(
                     def _():
                         dma_hf(nxt, 1 - slot).start()
                 dma_hf(c, slot).wait()
-                cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
-                onehot = (src == cols).astype(vdt)
-                acc_ref[:] += jnp.dot(onehot, hf_buf[slot], preferred_element_type=f32)[:, :D]
+                gather_compute(acc_ref, c, slot)
         return acc_ref[:]
 
     hf_src = pl.run_scoped(body_gather, pltpu.VMEM((Ep, D), f32))
@@ -1320,20 +1406,30 @@ def _level_bwd_kernel_hbm(
     nw = jnp.tanh(gi[:, 2 * D :] + r * bh[:, 2 * D :])
 
     # ---------- g = ghf[level nodes] (chunks overlapping the level range) --
+    def g_compute(acc_ref, c):
+        cp = pltpu.make_async_copy(
+            ghf_hbm_ref.at[pl.ds(c, n_chunk), :], g_buf.at[0], g_sem.at[0]
+        )
+        cp.start()
+        cp.wait()
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Np, n_chunk), 1) + c
+        onehot = (nodes == cols).astype(f32)
+        acc_ref[:] += jnp.dot(onehot, g_buf[0], preferred_element_type=f32)[:, :D]
+
     def body_g(acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if dyn:
+            s_lo = start // n_chunk
+            s_hi = jnp.minimum((start + Np + n_chunk - 1) // n_chunk, N // n_chunk)
+            jax.lax.fori_loop(
+                s_lo, s_hi, lambda ci, _: (g_compute(acc_ref, ci * n_chunk), 0)[1], 0
+            )
+            return acc_ref[:]
         for c in chunks:
 
             @pl.when((start < c + n_chunk) & (start + Np > c))
             def _(c=c):
-                cp = pltpu.make_async_copy(
-                    ghf_hbm_ref.at[pl.ds(c, n_chunk), :], g_buf.at[0], g_sem.at[0]
-                )
-                cp.start()
-                cp.wait()
-                cols = jax.lax.broadcasted_iota(jnp.int32, (Np, n_chunk), 1) + c
-                onehot = (nodes == cols).astype(f32)
-                acc_ref[:] += jnp.dot(onehot, g_buf[0], preferred_element_type=f32)[:, :D]
+                g_compute(acc_ref, c)
         return acc_ref[:]
 
     g = pl.run_scoped(body_g, pltpu.VMEM((Np, D), f32)) * upd
@@ -1387,25 +1483,36 @@ def _level_bwd_kernel_hbm(
         jnp.concatenate([dhf_src, jnp.zeros((Ep, DW - D), f32)], axis=1)
         if DW > D else dhf_src
     )
-    for c in chunks:
 
-        @pl.when((c < start) & (c + n_chunk > smin))
-        def _(c=c):
-            cp_in = pltpu.make_async_copy(
-                ghf_hbm_ref.at[pl.ds(c, n_chunk), :], g_buf.at[0], g_sem.at[0]
-            )
-            cp_in.start()
-            cp_in.wait()
-            cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
-            onehot = ((src == cols) & evalid).astype(f32)
-            g_buf[0] += jax.lax.dot_general(
-                onehot, dhf_w, dimension_numbers=_DN_T, preferred_element_type=f32
-            )
-            cp_out = pltpu.make_async_copy(
-                g_buf.at[0], ghf_hbm_ref.at[pl.ds(c, n_chunk), :], g_sem.at[1]
-            )
-            cp_out.start()
-            cp_out.wait()
+    def ghf_rmw(c):
+        cp_in = pltpu.make_async_copy(
+            ghf_hbm_ref.at[pl.ds(c, n_chunk), :], g_buf.at[0], g_sem.at[0]
+        )
+        cp_in.start()
+        cp_in.wait()
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Ep, n_chunk), 1) + c
+        onehot = ((src == cols) & evalid).astype(f32)
+        g_buf[0] += jax.lax.dot_general(
+            onehot, dhf_w, dimension_numbers=_DN_T, preferred_element_type=f32
+        )
+        cp_out = pltpu.make_async_copy(
+            g_buf.at[0], ghf_hbm_ref.at[pl.ds(c, n_chunk), :], g_sem.at[1]
+        )
+        cp_out.start()
+        cp_out.wait()
+
+    if dyn:
+        c_lo2 = smin // n_chunk
+        c_hi2 = jnp.where(smin < start, (start + n_chunk - 1) // n_chunk, c_lo2)
+        jax.lax.fori_loop(
+            c_lo2, c_hi2, lambda ci, _: (ghf_rmw(ci * n_chunk), 0)[1], 0
+        )
+    else:
+        for c in chunks:
+
+            @pl.when((c < start) & (c + n_chunk > smin))
+            def _(c=c):
+                ghf_rmw(c)
 
 
 # ---------------------------------------------------------------------------

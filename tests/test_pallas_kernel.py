@@ -275,3 +275,37 @@ def test_tiered_class_dispatch_matches_xla():
     b, _ = jax.flatten_util.ravel_pytree(g_p)
     scale = float(jnp.abs(a).max())
     assert float(jnp.abs(a - b).max()) < 1e-4 * max(scale, 1.0)
+
+
+def test_hbm_dynamic_loops_match_static(monkeypatch):
+    """Round-5 compile-bounded giant path: the HBM kernels' fori_loop chunk
+    loops (O(1) program size in N, used past HBM_COMPILE_SAFE_NODES) must
+    bit-match the static unrolled loops in forward AND backward."""
+    import jax.flatten_util
+
+    import mgvae_tpu.ops.pallas.level_kernel as K
+
+    cfg = DGConfig(modality="mig", dim_hidden=64, layernorm=True)
+    params, _ = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(9)
+    graphs = [random_circuit(rng, "mig", num_inputs=6, num_gates=48) for _ in range(3)]
+    batch = jax.tree.map(jnp.asarray, collate(graphs))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (batch["gate"].shape[0], 64))
+
+    def loss(params):
+        hs, hf, _ = forward(params, batch, cfg, use_pallas=True,
+                            pallas_interpret=True)
+        m = batch["node_valid"][:, None]
+        return jnp.sum(jnp.where(m, (hf - tgt) ** 2, 0.0)), hf
+
+    with monkeypatch.context() as m:
+        m.setattr(K, "kernel_fits", lambda *a: False)  # force the HBM route
+        (_, hf_s), g_s = jax.value_and_grad(loss, has_aux=True)(params)
+        m.setenv("MGVAE_HBM_DYNAMIC", "1")
+        (_, hf_d), g_d = jax.value_and_grad(loss, has_aux=True)(params)
+
+    n = int(batch["n_nodes"])
+    np.testing.assert_array_equal(np.asarray(hf_d[:n]), np.asarray(hf_s[:n]))
+    a, _ = jax.flatten_util.ravel_pytree(g_s)
+    b, _ = jax.flatten_util.ravel_pytree(g_d)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
