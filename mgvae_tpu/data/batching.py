@@ -900,6 +900,11 @@ def collate_chunked(graphs: list[CircuitGraph], num_chunks: int,
         "n_tt": np.int32(sum(int(b["n_tt"]) for b in batches)),
         "n_graphs": np.int32(len(graphs)),
         "chunk_counts": np.array([int(b["n_nodes"]) for b in batches], dtype=np.int32),
+        # per-chunk edge/tt-pair counts: lets the thin wire rebuild the
+        # chunk-local validity masks and level tables on device
+        # (data/rehydrate._derive_chunked)
+        "chunk_ecounts": np.array([int(b["n_edges"]) for b in batches], dtype=np.int32),
+        "chunk_tts": np.array([int(b["n_tt"]) for b in batches], dtype=np.int32),
     }
     # graph ids: chunk-local 0..len-1 -> input indices
     gids = []

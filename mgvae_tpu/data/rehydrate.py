@@ -37,11 +37,19 @@ Byte-identity with the host tables is load-bearing (the fused Pallas kernel
 ingests them raw) and is asserted by tests/test_rehydrate.py across
 modalities, dims overrides, and mp padding.
 
-Scope: flat UNCHUNKED batches (2-D level tables) and split-batch groups.
-Chunked ([C, L]) and multihost-globalized batches keep the full wire —
-`wire_drop` refuses them.
+Scope: flat UNCHUNKED batches (2-D level tables), split-batch groups, and —
+round 5 — CHUNKED batches ([C, L] level tables): a chunked batch is C
+disjoint sub-batches at common dims whose derived tables are the same
+closed forms per chunk (vmap of the flat derive over chunk-local edge
+views) plus the k*N_sub / k*E_sub / k*L*EP global offsets
+data/batching.collate_chunked applies. Multihost ships the thin wire too
+(the trainer wire_drops BEFORE _globalize; each shard_map member derives
+its own slice). Giant graphs whose level sort key would overflow int32
+keep the full wire.
 """
 from __future__ import annotations
+
+import functools
 
 import jax.numpy as jnp
 import numpy as np
@@ -83,12 +91,18 @@ def wire_drop(batch: dict) -> dict:
         out["groups"] = gbs
         return out
     lv = batch.get("lv_nodes")
-    if lv is None or "chunk_counts" in batch:
+    if lv is None:
         return batch
-    lead = lv.ndim - 2  # stacked [dp] / grouped [K, dp] lead axes
+    chunked = "chunk_counts" in batch
+    if chunked and "chunk_ecounts" not in batch:
+        return batch  # pre-round-5 cached batch: counts missing, full wire
+    # chunked level tables carry a [C] axis before [L, NP]
+    lead = lv.ndim - (3 if chunked else 2)  # stacked [dp] / grouped [K, dp]
     if lead < 0:
         return batch
     n_dim = batch["gate"].shape[-1]
+    if chunked:
+        n_dim //= batch["chunk_counts"].shape[-1]  # per-chunk node space
     l_dim = batch["lv_start"].shape[-1]
     if (l_dim + 1) * n_dim >= 2**31:  # keep the full wire for giant graphs
         return batch
@@ -124,31 +138,19 @@ def _blocked(edge_valid, by, other, eb: int, n_dim: int, e_dim: int, dump):
     return src, slot, valid, eid
 
 
-def derive_tables(batch: dict) -> dict:
-    """Rebuild every DERIVED_KEYS table of a thin (wire_drop'ed) unchunked
-    batch, bit-exact vs data/batching.collate. Pure jnp, static shapes,
-    scatter-free; intended to run inside the jitted train/eval step."""
-    if "lv_nodes" in batch or "tdims" not in batch:
-        return batch
-    np_dim, ep_dim, ebf, ebr = (int(d) for d in batch["tdims"].shape[-4:])
-    gate, lv_start = batch["gate"], batch["lv_start"]
-    edge_src, edge_dst = batch["edge_src"], batch["edge_dst"]
-    fwd = batch["forward_level"]  # wire-kept (cheaper shipped than derived)
-    n_dim, e_dim, l_dim = gate.shape[-1], edge_src.shape[-1], lv_start.shape[-1]
-    n, e = batch["n_nodes"], batch["n_edges"]
+def _derive_local(edge_src, edge_dst, fwd, lv_start, n, e,
+                  *, n_dim, e_dim, l_dim, np_dim, ep_dim, ebf, ebr):
+    """All derived tables of ONE flat node space (a whole unchunked batch,
+    or one chunk of a chunked batch under vmap), with LOCAL node/edge ids —
+    bit-exact vs data/batching.collate's per-space tables."""
     dump = n.astype(jnp.int32)  # first padding node (collate: dump = n)
-
-    out = dict(batch)
-    out.pop("tdims")
+    out = {}
     iota_n = jnp.arange(n_dim, dtype=jnp.int32)
     iota_e = jnp.arange(e_dim, dtype=jnp.int32)
     node_valid = iota_n < n
     edge_valid = iota_e < e
     out["node_valid"] = node_valid
     out["edge_valid"] = edge_valid
-    if "tt_pair_a" in batch:  # split GROUPS carry no tt keys (global losses)
-        p_dim = batch["tt_pair_a"].shape[-1]
-        out["tt_valid"] = jnp.arange(p_dim, dtype=jnp.int32) < batch["n_tt"]
 
     # node rows: level l+1 occupies [lv_start[l], nxt[l]) (level-major
     # contiguity; padded lv_start rows equal n, so their counts are 0)
@@ -197,4 +199,89 @@ def derive_tables(batch: dict) -> dict:
     ra = _blocked(edge_valid, edge_src, edge_dst, ebr, n_dim, e_dim, dump)
     out["fa_src"], out["fa_slot"], out["fa_valid"], out["fa_eid"] = fa
     out["ra_src"], out["ra_slot"], out["ra_valid"], out["ra_eid"] = ra
+    return out
+
+
+def _derive_chunked(batch: dict) -> dict:
+    """Chunked ([C, L] level tables) mirror of the flat derive: slice the
+    GLOBAL edge arrays into their per-chunk rows ([k*E_sub, (k+1)*E_sub)),
+    subtract the k*N_sub node offsets, vmap the flat derive over the chunk
+    axis, and re-apply data/batching.collate_chunked's exact global layout
+    (node/edge/blocked tables offset + flattened; level tables stacked with
+    LOCAL node ids and GLOBAL edge ids)."""
+    import jax
+
+    np_dim, ep_dim, ebf, ebr = (int(d) for d in batch["tdims"].shape[-4:])
+    cnts = batch["chunk_counts"].astype(jnp.int32)
+    ecnts = batch["chunk_ecounts"].astype(jnp.int32)
+    C = cnts.shape[-1]
+    gate, lv_start = batch["gate"], batch["lv_start"]  # lv_start [C, L]
+    n_dim, e_dim, l_dim = gate.shape[-1], batch["edge_src"].shape[-1], lv_start.shape[-1]
+    n_sub, e_sub = n_dim // C, e_dim // C
+    noff = (jnp.arange(C, dtype=jnp.int32) * n_sub)[:, None]
+    eoff = (jnp.arange(C, dtype=jnp.int32) * e_sub)[:, None]
+
+    out = dict(batch)
+    out.pop("tdims")
+    es_l = batch["edge_src"].astype(jnp.int32).reshape(C, e_sub) - noff
+    ed_l = batch["edge_dst"].astype(jnp.int32).reshape(C, e_sub) - noff
+    fwd_l = batch["forward_level"].reshape(C, n_sub)
+
+    loc = jax.vmap(functools.partial(
+        _derive_local, n_dim=n_sub, e_dim=e_sub, l_dim=l_dim,
+        np_dim=np_dim, ep_dim=ep_dim, ebf=ebf, ebr=ebr,
+    ))(es_l, ed_l, fwd_l, lv_start, cnts, ecnts)
+
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    out["node_valid"] = flat(loc["node_valid"])
+    out["edge_valid"] = flat(loc["edge_valid"])
+    if "tt_pair_a" in batch:
+        p_sub = batch["tt_pair_a"].shape[-1] // C
+        out["tt_valid"] = flat(
+            jnp.arange(p_sub, dtype=jnp.int32)[None, :]
+            < batch["chunk_tts"].astype(jnp.int32)[:, None]
+        )
+    # level tables: stacked [C, L, ...], node ids LOCAL, edge ids GLOBAL
+    for k in ("lv_nodes", "lv_node_valid", "lv_edge_src",
+              "lv_edge_dst_slot", "lv_edge_valid"):
+        out[k] = loc[k]
+    out["lv_edge_id"] = loc["lv_edge_id"] + eoff[:, :, None]
+    out["edge_lv_row"] = flat(
+        loc["edge_lv_row"] + (jnp.arange(C, dtype=jnp.int32) * (l_dim * ep_dim))[:, None]
+    )
+    # blocked-CSR tables: flattened [C*nb_sub, ...], src/eid values GLOBAL
+    for pre in ("fa", "ra"):
+        out[f"{pre}_src"] = flat(loc[f"{pre}_src"] + noff[:, :, None])
+        out[f"{pre}_slot"] = flat(loc[f"{pre}_slot"])
+        out[f"{pre}_valid"] = flat(loc[f"{pre}_valid"])
+        out[f"{pre}_eid"] = flat(loc[f"{pre}_eid"] + eoff[:, :, None])
+    return out
+
+
+def derive_tables(batch: dict) -> dict:
+    """Rebuild every DERIVED_KEYS table of a thin (wire_drop'ed) batch —
+    flat unchunked, split group, or chunked — bit-exact vs
+    data/batching.collate(_chunked). Pure jnp, static shapes, scatter-free;
+    intended to run inside the jitted train/eval step."""
+    if "lv_nodes" in batch or "tdims" not in batch:
+        return batch
+    if "chunk_counts" in batch:
+        return _derive_chunked(batch)
+    np_dim, ep_dim, ebf, ebr = (int(d) for d in batch["tdims"].shape[-4:])
+    gate, lv_start = batch["gate"], batch["lv_start"]
+    edge_src, edge_dst = batch["edge_src"], batch["edge_dst"]
+    fwd = batch["forward_level"]  # wire-kept (cheaper shipped than derived)
+    n_dim, e_dim, l_dim = gate.shape[-1], edge_src.shape[-1], lv_start.shape[-1]
+    n, e = batch["n_nodes"], batch["n_edges"]
+
+    out = dict(batch)
+    out.pop("tdims")
+    out.update(_derive_local(
+        edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32), fwd, lv_start,
+        n, e, n_dim=n_dim, e_dim=e_dim, l_dim=l_dim,
+        np_dim=np_dim, ep_dim=ep_dim, ebf=ebf, ebr=ebr,
+    ))
+    if "tt_pair_a" in batch:  # split GROUPS carry no tt keys (global losses)
+        p_dim = batch["tt_pair_a"].shape[-1]
+        out["tt_valid"] = jnp.arange(p_dim, dtype=jnp.int32) < batch["n_tt"]
     return out

@@ -107,8 +107,9 @@ class Trainer:
         # Thin wire: drop collate's derived index tables (fa/ra, lv_*,
         # masks, degrees — ~65% of the narrowed batch bytes) before the
         # host->device transfer; the jitted step rebuilds them bit-exactly
-        # on device (data/rehydrate.derive_tables). Applies to unchunked
-        # non-split single-host batches; others keep the full wire.
+        # on device (data/rehydrate.derive_tables). Applies to unchunked,
+        # split-group, chunked, and multihost batches (round 5); only giant
+        # single graphs (int32 sort-key overflow) keep the full wire.
         self.thin_wire = thin_wire
         self.lr = lr
         self.lr_step = -1
@@ -425,9 +426,13 @@ class Trainer:
         if self.mesh is not None:
             shards = [chunk[d * self.batch_size : (d + 1) * self.batch_size] for d in range(self.num_devices)]
             batch = collate_shards(shards, dims=dims, num_chunks=C)
+            if self.thin_wire:
+                # multihost included (round 5): each process ships its thin
+                # slice; the shard_map step derives per member
+                batch = wire_drop(batch)
             if multihost:
                 return self._globalize(batch)
-            return wire_drop(batch) if self.thin_wire else batch
+            return batch
         if dims is None and jax.default_backend() == "tpu":
             # auto-chunk big batches so training rides the fused kernel's
             # (chunk, level) grid instead of falling back to the XLA scan
@@ -436,7 +441,8 @@ class Trainer:
             batch = collate_chunked(chunk, C, dims=dims)
         else:
             batch = collate(chunk, dims=dims)
-        # wire_drop refuses chunked batches itself (they keep the full wire)
+        # chunked batches thin too (round 5); wire_drop only refuses giant
+        # graphs (int32 sort-key overflow) and stale caches missing counts
         return wire_drop(batch) if self.thin_wire else batch
 
     def _collate_split_shards(self, shards, dims: list, stacked: bool):
@@ -917,7 +923,16 @@ class Trainer:
             return {}
         # last epoch's meters: val phase when it had batches, else train
         # (the val split can be smaller than batch_size under drop_last)
-        best = phase_meters.get("val") if phase_meters.get("val", meters)["recon"].count else phase_meters.get("train", meters)
+        val_empty = not phase_meters.get("val", meters)["recon"].count
+        if val_empty and self.is_chief and not getattr(self, "_warned_empty_val", False):
+            self._warned_empty_val = True
+            print(
+                "[WARN] validation split smaller than batch_size: the val "
+                "epoch is empty under drop_last (reference parity) — "
+                "returned metrics fall back to TRAIN meters. Early stopping "
+                "on these stops on training loss, not validation loss."
+            )
+        best = phase_meters.get("train", meters) if val_empty else phase_meters.get("val")
         out = {k: v.avg for k, v in best.items()}
         out["train"] = {k: v.avg for k, v in phase_meters.get("train", meters).items()}
         out["val"] = {k: v.avg for k, v in phase_meters.get("val", meters).items()}

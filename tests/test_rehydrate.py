@@ -65,11 +65,9 @@ def test_derive_tables_single_graph_and_no_tt():
     _assert_tables_equal(der, full)
 
 
-def test_wire_drop_refuses_chunked_thins_split_groups():
+def test_wire_drop_thins_split_groups():
     rng = np.random.default_rng(3)
     gs = _graphs(rng, "aig", k=8)
-    chunked = B.collate_chunked(gs, 2)
-    assert wire_drop(chunked) is chunked
     split = B.collate_split(gs, 2)
     thin = wire_drop(split)
     assert thin is not split
@@ -77,6 +75,55 @@ def test_wire_drop_refuses_chunked_thins_split_groups():
         assert "lv_nodes" not in gb and "tdims" in gb
         der = jax.jit(derive_tables)(jax.tree.map(np.asarray, gb))
         _assert_tables_equal(der, gb_full)
+
+
+@pytest.mark.parametrize("mod,C", [("aig", 2), ("mig", 3)])
+def test_derive_tables_chunked_bitexact(mod, C):
+    """Round-5: chunked batches ([C, L] level tables) ride the thin wire —
+    the vmapped per-chunk derive plus collate_chunked's global offsets must
+    be bit-identical to the host tables."""
+    rng = np.random.default_rng(11 + C)
+    gs = _graphs(rng, mod, k=3 * C)
+    full = B.collate_chunked(gs, C)
+    thin = wire_drop(full)
+    assert thin is not full and "tdims" in thin and "lv_nodes" not in thin
+    der = jax.jit(derive_tables)(jax.tree.map(np.asarray, thin))
+    _assert_tables_equal(der, full)
+    # a chunked batch missing the round-5 count keys (stale cache) keeps
+    # the full wire
+    legacy = {k: v for k, v in full.items() if k != "chunk_ecounts"}
+    assert wire_drop(legacy) is legacy
+
+
+def test_thin_chunked_step_matches_full():
+    """Loss/grad equivalence of the thin chunked wire through the real
+    train step."""
+    import jax.flatten_util
+
+    from mgvae_tpu.models.dg_ae import DGConfig, init_params
+    from mgvae_tpu.train.step import loss_and_metrics
+
+    rng = np.random.default_rng(19)
+    gs = _graphs(rng, "mig", k=6)
+    full = B.collate_chunked(gs, 2)
+    thin = wire_drop(full)
+    cfg = DGConfig(modality="mig", dim_hidden=32, layernorm=True)
+    params, state = init_params(jax.random.PRNGKey(0), cfg)
+    weights = jnp.asarray([1.0, 4.0, 2.0, 0.0])
+
+    def run(b):
+        b = jax.tree.map(jnp.asarray, b)
+        (loss, (_, m)), g = jax.value_and_grad(
+            loss_and_metrics, has_aux=True
+        )(params, state, b, jax.random.PRNGKey(1), weights, cfg, True)
+        return loss, m, g
+
+    l_f, m_f, g_f = jax.jit(run)(full)
+    l_t, m_t, g_t = jax.jit(run)(thin)
+    assert float(l_f) == float(l_t)
+    a, _ = jax.flatten_util.ravel_pytree(g_f)
+    b, _ = jax.flatten_util.ravel_pytree(g_t)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_thin_split_step_matches_full():
