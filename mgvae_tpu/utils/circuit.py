@@ -489,3 +489,114 @@ def generate_orthogonal_vectors(n: int, dim: int, seed=None):
 def generate_hs_init(num_pis: int, dim_hidden: int, seed=None):
     """Legacy orthogonal PI initialization (utils/utils.py:182-206)."""
     return generate_orthogonal_vectors(num_pis, dim_hidden, seed).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# dead-path tail of the reference toolkit (circuit_utils.py:299-381 /
+# 625-634 / 819-837): the modified-.bench feature pipeline, the
+# reconvergent-cone DFS, and the dataset C1-vs-GT diagnostic. None of these
+# sit on the reference's live path; ported for inventory completeness with
+# the reference's crashes fixed (recursion-depth blowup, list-aliasing in
+# the DFS, torch-only dataset assumption).
+# ---------------------------------------------------------------------------
+
+_BENCH_GATE_NAMES = ("NAND", "NOR", "AND", "OR", "NOT", "XOR")
+
+
+def feature_generation(lines, gate_to_index):
+    """Modified-.bench (``idx: name = GATE(a, b)``) pre-processing
+    (circuit_utils.py:299-381): returns (x_data [[name, gate_idx, level]],
+    edge_index [[src, dst] pairs], level_list, fanin_list, fanout_list).
+    Levelization delegates to data/levelize (O(V+E) Kahn) instead of the
+    reference's repeated-relaxation BFS — identical longest-path levels.
+    Gate keywords match on ``GATE(`` exactly (the reference's 13-10-2021
+    bugfix: a net named MEMORY must not match OR)."""
+    import re
+
+    gate_re = re.compile(r"=\s*(%s)\s*\(" % "|".join(_BENCH_GATE_NAMES))
+    name2idx, x_data, gate_lines = {}, [], []
+    for line in lines:
+        if "INPUT(" in line:
+            name = line.split("(")[-1].split(")")[0].strip()
+            name2idx[name] = len(x_data)
+            x_data.append([name, gate_to_index["INPUT"]])
+            continue
+        m = gate_re.search(line)
+        if m is not None:
+            name = line.split(":")[-1].split("=")[0].strip()
+            srcs = [s.strip() for s in line.split("(")[-1].split(")")[0].split(",")]
+            name2idx[name] = len(x_data)
+            x_data.append([name, gate_to_index[m.group(1)]])
+            gate_lines.append((name, srcs))
+    edge_index = []
+    for name, srcs in gate_lines:
+        dst = name2idx[name]
+        edge_index.extend([name2idx[s], dst] for s in srcs)
+    n = len(x_data)
+    ei = np.asarray(edge_index, dtype=np.int64).reshape(-1, 2).T
+    levels = levelize(ei, n)
+    for idx in range(n):
+        x_data[idx].append(int(levels[idx]))
+    level_list = get_level_list(levels)
+    fanin_list, fanout_list = get_fanin_fanout(n, ei)
+    return x_data, edge_index, level_list, fanin_list, fanout_list
+
+
+def dfs_reconvergent_circuit(node_idx, dst_idx, fanout_list, x_data):
+    """All nodes lying on a directed path from ``node_idx`` to the
+    reconvergence point ``dst_idx`` through nodes at level <= level(dst)
+    (circuit_utils.py:625-634 capability). Iterative two-pass
+    reachability (forward from src x backward from dst) instead of the
+    reference's exponential path-enumerating recursion, whose
+    ``vis = vis[:-1]`` rebinding also corrupts sibling branches; includes
+    dst, excludes src, like the reference's intent."""
+    n = len(x_data)
+    dst_level = x_data[dst_idx][2]
+    fwd = np.zeros(n, dtype=bool)
+    stack = [node_idx]
+    while stack:
+        u = stack.pop()
+        for v in fanout_list[u]:
+            if not fwd[v] and x_data[v][2] <= dst_level:
+                fwd[v] = True
+                stack.append(v)
+    # backward from dst over the forward-reachable subgraph
+    parents = [[] for _ in range(n)]
+    for u in range(n):
+        if fwd[u] or u == node_idx:
+            for v in fanout_list[u]:
+                if fwd[v]:
+                    parents[v].append(u)
+    keep = np.zeros(n, dtype=bool)
+    if not fwd[dst_idx]:
+        return []
+    keep[dst_idx] = True
+    stack = [dst_idx]
+    while stack:
+        v = stack.pop()
+        for u in parents[v]:
+            if not keep[u] and u != node_idx:
+                keep[u] = True
+                stack.append(u)
+    return [int(i) for i in np.flatnonzero(keep)]
+
+
+def check_difference(dataset, c1="c1", gt="gt", rec="rec"):
+    """Dataset diagnostic (circuit_utils.py:819-837): mean |C1 - GT| overall
+    and split by reconvergent / non-reconvergent nodes. Attribute names are
+    parameterized (the legacy npz pipeline stores GT as ``prob``); arrays
+    may be numpy or torch. Returns the three means and prints the
+    reference's three lines."""
+    sums = np.zeros(3)
+    tots = np.zeros(3)
+    for g in dataset:
+        d = np.abs(np.asarray(getattr(g, c1), dtype=np.float64).reshape(-1)
+                   - np.asarray(getattr(g, gt), dtype=np.float64).reshape(-1))
+        r = np.asarray(getattr(g, rec), dtype=np.float64).reshape(-1)
+        sums += (d.sum(), (d * r).sum(), (d * (1 - r)).sum())
+        tots += (d.size, r.sum(), (1 - r).sum())
+    means = tuple(float(s / t) if t else float("nan") for s, t in zip(sums, tots))
+    print("Average difference between C1 and GT is: ", means[0])
+    print("Average difference between C1 and GT (reconvergent nodes) is: ", means[1])
+    print("Average difference between C1 and GT (non-reconvergent nodes) is: ", means[2])
+    return means

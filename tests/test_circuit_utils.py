@@ -133,3 +133,52 @@ def test_backward_search_cone():
     fanin = [[], [], [0, 1], [2]]
     cone = backward_search(3, fanin, x_data, min_level=0)
     assert cone == [2]
+
+
+def test_feature_generation_modified_bench():
+    from mgvae_tpu.utils.circuit import feature_generation
+
+    g2i = {"INPUT": 0, "AND": 1, "NOT": 2, "OR": 3, "NAND": 4}
+    lines = [
+        "INPUT(a)", "INPUT(b)", "INPUT(MEMORY)",  # name contains OR/AND-free trap
+        "OUTPUT(z)",
+        "0: e = AND(a, b)",
+        "1: f = OR(e, MEMORY)",
+        "2: z = NOT(f)",
+    ]
+    x_data, edges, level_list, fanin, fanout = feature_generation(lines, g2i)
+    names = [r[0] for r in x_data]
+    assert names == ["a", "b", "MEMORY", "e", "f", "z"]
+    assert [r[1] for r in x_data] == [0, 0, 0, 1, 3, 2]
+    assert [r[2] for r in x_data] == [0, 0, 0, 1, 2, 3]
+    assert sorted(edges) == [[0, 3], [1, 3], [2, 4], [3, 4], [4, 5]]
+    assert level_list[0] == [0, 1, 2] and level_list[3] == [5]
+    assert fanin[4] == [3, 2] or fanin[4] == [2, 3]
+    assert fanout[3] == [4]
+
+
+def test_dfs_reconvergent_circuit_diamond():
+    from mgvae_tpu.utils.circuit import dfs_reconvergent_circuit
+
+    # diamond a -> {b, c} -> d, plus a stray high-level node e above d
+    x_data = [["a", 0, 0], ["b", 1, 1], ["c", 1, 1], ["d", 1, 2], ["e", 1, 3]]
+    fanout = [[1, 2], [3], [3, 4], [4], []]
+    cone = dfs_reconvergent_circuit(0, 3, fanout, x_data)
+    assert cone == [1, 2, 3]  # both branches + dst; src and e excluded
+    assert dfs_reconvergent_circuit(1, 2, fanout, x_data) == []  # unreachable
+
+
+def test_check_difference(capsys):
+    from types import SimpleNamespace
+
+    from mgvae_tpu.utils.circuit import check_difference
+
+    g1 = SimpleNamespace(c1=np.array([0.5, 0.8]), gt=np.array([0.5, 0.6]),
+                         rec=np.array([0.0, 1.0]))
+    g2 = SimpleNamespace(c1=np.array([0.1]), gt=np.array([0.2]),
+                         rec=np.array([0.0]))
+    overall, rc, nrc = check_difference([g1, g2])
+    np.testing.assert_allclose(overall, (0.0 + 0.2 + 0.1) / 3)
+    np.testing.assert_allclose(rc, 0.2)
+    np.testing.assert_allclose(nrc, 0.05)
+    assert "reconvergent" in capsys.readouterr().out
