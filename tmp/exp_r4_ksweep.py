@@ -53,7 +53,9 @@ def sweep(bs, split, tag, ks=(8, 16), epochs=5):
     from mgvae_tpu.models.dg_ae import DGConfig
     from mgvae_tpu.train.trainer import Trainer
 
-    ds = make_ds()
+    # every arm keeps >= 128 steps/epoch (the e2e A/B rule: few steps/epoch
+    # serializes epoch-boundary collate+wire vs device and biases the arm)
+    ds = make_ds(n=max(2048, 128 * bs))
     cfg = DGConfig(modality="mig", dim_hidden=64, layernorm=True)
     args = types.SimpleNamespace(model="DG_AE", type="mig")
     steps = len(ds) // bs
@@ -77,9 +79,13 @@ def sweep(bs, split, tag, ks=(8, 16), epochs=5):
     for K in ks:
         _, ts = arms[K]
         med = float(np.median(ts))
+        # NOTE: the timed epoch includes the val phase (one step on ds[:bs])
+        # and the per-epoch checkpoint save but divides by TRAIN steps only —
+        # absolute g/s is slightly conservative-biased; the A/B verdict is
+        # unaffected (the overhead is identical across arms).
         log(f"[{tag} K={K}] epochs {['%.2f' % t for t in ts]} -> median "
             f"{med:.2f}s = {steps*bs/med:.0f} g/s e2e "
-            f"({med/steps*1e3:.2f} ms/step)")
+            f"({med/steps*1e3:.2f} ms/step; incl. val+ckpt overhead)")
 
 
 def main():
