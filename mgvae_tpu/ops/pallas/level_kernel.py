@@ -46,21 +46,26 @@ _CHUNK_BYTES = 2 * 1024 * 1024  # VMEM budget for one one-hot gather block
 
 
 def _pick_chunk(ep: int, n: int, budget: int = _CHUNK_BYTES) -> int:
-    """N-axis chunk for the one-hot gather/scatter matmuls: bound the
-    [Ep, chunk] f32 block to ~budget bytes of VMEM, floor 512, lane-aligned.
-    The chunk is also the GRANULARITY of the source-window guards: per level
-    only the chunks overlapping [smin, smax) run their compare+matmul, so a
-    smaller chunk wastes less one-hot work when the window (fanin locality,
-    ~2-4 levels) is narrower than the chunk. MGVAE_NCHUNK forces an exact
-    value for sweeps (tmp/exp_r5_chunk.py)."""
+    """N-axis chunk for the one-hot gather/scatter matmuls (VMEM-resident
+    kernels only; the HBM kernels use _pick_chunk_divisor). The chunk is the
+    GRANULARITY of the source-window guards: per level only the chunks
+    overlapping [smin, smax) run their compare+matmul, so a smaller chunk
+    wastes less one-hot work when the window (fanin locality, ~2-4 levels)
+    is narrower than the chunk. Round-5 on-chip sweep (tmp/r5_onchip/,
+    MIG bs16): 512 ties 2048 on fwd (0.628 vs 0.625 ms) and wins fwd+bwd
+    (2.975 vs 3.391 ms) — the backward has twice the chunk-guarded loops
+    (gather AND scatter transposes), so wasted window slack costs double
+    there. 512 is now the flat default (the old budget formula
+    clamp(budget/(4*Ep), 512, 2048) already floored at 512 for Ep >= 1024;
+    VMEM fit is enforced separately by kernel_fits). MGVAE_NCHUNK forces
+    an exact value for sweeps (tmp/exp_r5_chunk.py)."""
     import os
 
+    del budget  # superseded by the measured flat default; see docstring
     forced = os.environ.get("MGVAE_NCHUNK")
     if forced:
         return min(int(forced), _round_up(n, LANE))
-    c = max(512, min(2048, budget // max(ep * 4, 1)))
-    c = (c // LANE) * LANE
-    return min(c, _round_up(n, LANE))
+    return min(512, _round_up(n, LANE))
 
 # contract dim 0 of lhs with dim 0 of rhs: A^T @ B without a transpose op
 _DN_T = (((0,), (0,)), ((), ()))
