@@ -47,6 +47,13 @@ class DGConfig:
     num_rounds: int = 1          # never overridden in the reference (quirk 17)
     input_quirk: bool = True
     variational: bool = False    # DG_VAE mode (adds mu/logstd heads)
+    # Rematerialize the struct-encoder half-rounds in the backward (saves
+    # the [*, N, 3D] GRU gate temps — the top HBM allocations at giant N;
+    # tmp/r5_onchip/giant_513k_f32.log OOM'd at 25G/15.75G without it).
+    # None = auto: on when the batch is a single graph past the HBM
+    # kernels' static-compile ceiling, off otherwise (recompute costs time
+    # where memory isn't scarce).
+    remat_struct: bool | None = None
     dim_mlp: int = 32
     compute_dtype: str = "float32"  # set "bfloat16" for TPU throughput mode
     # Level-step segment aggregation strategy:
@@ -295,9 +302,15 @@ def _forward(params, batch, cfg: DGConfig, rng, use_pallas, pallas_interpret):
                     precision=cfg.matmul_precision,
                 )
         if s is None:
+            if cfg.remat_struct is None:
+                from ..ops.pallas.level_kernel import HBM_COMPILE_SAFE_NODES
+
+                remat = x_feat.shape[0] > HBM_COMPILE_SAFE_NODES
+            else:
+                remat = cfg.remat_struct
             s, t = direct_multigcn_apply(
                 params["struct"], x_feat, batch, cfg.s_rounds, cfg.t_rounds,
-                cfg.layernorm,
+                cfg.layernorm, remat=remat,
             )
     aux = {}
     if cfg.variational:

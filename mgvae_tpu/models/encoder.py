@@ -143,6 +143,7 @@ def multigcn_apply(
     batch: dict,           # needs edge_src/edge_dst/edge_valid (+ agg tables)
     num_rounds: int,
     layernorm: bool,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """MultiGCNEncoder.forward (digae_layer.py:257-277); returns [N, D]."""
     n = x_feat.shape[0]
@@ -169,6 +170,11 @@ def multigcn_apply(
             state = layernorm_apply(params["ln"], state)
         return state
 
+    if remat:
+        # giant graphs: save only the [N, D] half-round states and recompute
+        # the GRU gate temps in the backward — the saved [N, 3D] gi/gh
+        # intermediates are the largest HBM allocations at N ~ 500k
+        half_round = jax.checkpoint(half_round, static_argnums=(3,))
     for _ in range(num_rounds):
         state = half_round(state, params["aggr"], params["update"], False, deg_in)
         # reverse direction (enable_reverse is hardwired True, digae_layer.py:239)
@@ -185,7 +191,8 @@ def direct_multigcn_init(key, dim_hidden: int, dim_feature: int, layernorm: bool
     }
 
 
-def _multigcn_apply_stacked(params_st, x_feat, batch, num_rounds, layernorm):
+def _multigcn_apply_stacked(params_st, x_feat, batch, num_rounds, layernorm,
+                            remat=False):
     """Both towers in one pass: params stacked on a leading [2] axis, state
     [2, N, D]. The neighbor sum is leading-dim aware (linear_call has no
     vmap rule), everything per-tower (AggConv matmul, GRU, layernorm) is
@@ -210,13 +217,20 @@ def _multigcn_apply_stacked(params_st, x_feat, batch, num_rounds, layernorm):
         nbr = _neighbor_sum(state, batch, reverse)
         return tower(params_st[aggr_key], params_st[gru_key], ln_st, nbr, state, deg)
 
+    if remat:
+        # giant graphs: keep only the [2, N, D] states across half-rounds;
+        # the [2, N, 3D] GRU gate temps (the top HBM allocations at
+        # N ~ 500k — see tmp/r5_onchip/giant_513k_f32.log) are recomputed
+        # in the backward instead of saved
+        half_round = jax.checkpoint(half_round, static_argnums=(1, 2, 3))
     for _ in range(num_rounds):
         state = half_round(state, "aggr", "update", False, deg_in)
         state = half_round(state, "aggr_r", "update_r", True, deg_out)
     return state[0], state[1]
 
 
-def direct_multigcn_apply(params, x_feat, batch, s_rounds, t_rounds, layernorm):
+def direct_multigcn_apply(params, x_feat, batch, s_rounds, t_rounds, layernorm,
+                          remat=False):
     if s_rounds == t_rounds and "fa_src" in batch and "ra_src" in batch and "deg_in" in batch:
         # the towers are independent and share x_feat/batch: run them
         # stacked so every matmul/GRU feeds the MXU at double batch.
@@ -225,7 +239,10 @@ def direct_multigcn_apply(params, x_feat, batch, s_rounds, t_rounds, layernorm):
         stacked = jax.tree.map(
             lambda a, b: jnp.stack([a, b]), params["source"], params["target"]
         )
-        return _multigcn_apply_stacked(stacked, x_feat, batch, s_rounds, layernorm)
-    s = multigcn_apply(params["source"], x_feat, batch, s_rounds, layernorm)
-    t = multigcn_apply(params["target"], x_feat, batch, t_rounds, layernorm)
+        return _multigcn_apply_stacked(stacked, x_feat, batch, s_rounds,
+                                       layernorm, remat=remat)
+    s = multigcn_apply(params["source"], x_feat, batch, s_rounds, layernorm,
+                       remat=remat)
+    t = multigcn_apply(params["target"], x_feat, batch, t_rounds, layernorm,
+                       remat=remat)
     return s, t
