@@ -60,11 +60,20 @@ def train_vae(modality, kl_weight, work, seed=7):
         raise RuntimeError(f"{modality} DG_VAE train.py failed")
     # every epoch line's losses must be finite (the KL term trains)
     kls, rcs = [], []
-    for line in r.stdout.splitlines():
-        m = re.search(r"recon ([\d.naife+-]+).*kl ([\d.naife+-]+)", line)
-        if m:
-            rcs.append(float(m.group(1)))
-            kls.append(float(m.group(2)))
+    # epoch lines go to the run's log file (Logger writes the file, not
+    # stdout); the KL field appears when kl_weight>0 meters a nonzero KL:
+    # "train| Epoch: 0/8 |Recon: 1.94 ... |KL: 0.93|Net: ..."
+    log_dir = os.path.join(save_dir, "vae")
+    logs = sorted(f for f in os.listdir(log_dir) if f.startswith("log-"))
+    assert logs, f"no log file in {log_dir}"
+    with open(os.path.join(log_dir, logs[-1])) as f:
+        for line in f:
+            m = re.search(
+                r"train\| Epoch.*\|Recon: ([\d.naife+-]+).*\|KL: ([\d.naife+-]+)",
+                line)
+            if m:
+                rcs.append(float(m.group(1)))
+                kls.append(float(m.group(2)))
     assert rcs and all(np.isfinite(rcs)), f"non-finite recon curve: {rcs[-5:]}"
     assert kls and all(np.isfinite(kls)), f"non-finite KL curve: {kls[-5:]}"
     print(f"[vae {modality}] recon curve {rcs[0]:.4f} -> {rcs[-1]:.4f}, "

@@ -902,10 +902,15 @@ class Trainer:
                     self.save(os.path.join(self.log_dir, "model_last.pth"))
                 phase_meters[phase] = meters if pending else phase_meters.get(phase, meters)
                 if self.is_chief:
+                    # reference epoch-line format (trainer.py:208-212); the
+                    # KL field is appended ONLY when a nonzero KL was metered
+                    # (DG_VAE with kl_weight>0) so AE logs stay byte-parity
+                    kl_part = (" |KL: {:.4f}".format(meters["kl"].avg)
+                               if meters["kl"].avg else "")
                     self.logger.write(
-                        "{}| Epoch: {:}/{:} |Recon: {:.4f} |ACC: {:.2f} |Prob: {:.4f} |Func: {:.4f}|Net: {:.2f}s\n".format(
+                        "{}| Epoch: {:}/{:} |Recon: {:.4f} |ACC: {:.2f} |Prob: {:.4f} |Func: {:.4f}{}|Net: {:.2f}s\n".format(
                             phase, epoch, num_epoch, meters["recon"].avg, meters["acc"].avg * 100,
-                            meters["prob"].avg, meters["func"].avg, meters["time"].avg,
+                            meters["prob"].avg, meters["func"].avg, kl_part, meters["time"].avg,
                         )
                     )
             if tracing:  # capture only the first epoch of this stage
