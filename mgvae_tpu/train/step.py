@@ -73,12 +73,13 @@ def _auto_pallas(batch, cfg: DGConfig) -> bool:
     ep, np_ = batch["lv_edge_src"].shape[-1], lv.shape[-1]
     if kernel_fits(n_sub, ep, np_, cfg.dim_hidden):
         return True
-    # giant single graphs: HBM-streamed variant, fwd + bwd
-    return (
-        num_chunks == 1
-        and cfg.compute_dtype == "float32"
-        and kernel_fits_hbm_bwd(n_sub, ep, np_, cfg.dim_hidden)
-    )
+    # giant single graphs: HBM-streamed variant, fwd + bwd. bf16 values are
+    # supported since round 4 (vdt/f32 discipline, tests/test_pallas_kernel
+    # test_hbm_variant_bf16); the old f32-only gate silently sent bf16 giant
+    # TRAIN steps to the XLA scan fallback, whose per-level autodiff
+    # residuals are O(L*N*D) — a 32 GB pred tensor at N=513k
+    # (tmp/r5_onchip/giant_513k_bf16.log, first attempt)
+    return num_chunks == 1 and kernel_fits_hbm_bwd(n_sub, ep, np_, cfg.dim_hidden)
 
 
 # split-batch globals the wire can omit: exact concatenations of the
