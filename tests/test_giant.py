@@ -79,3 +79,30 @@ def test_giant_shape_routes_to_hbm_kernel():
     ep, np_ = batch["lv_edge_src"].shape[-1], batch["lv_nodes"].shape[-1]
     assert not kernel_fits(n, ep, np_, 64)          # hf won't sit in VMEM
     assert kernel_fits_hbm_bwd(n, ep, np_, 64)      # HBM stream handles it
+
+
+def test_auto_pallas_bf16_giant_gate(monkeypatch):
+    """Regression for the round-5 fix: bf16 giant single graphs must take
+    the HBM kernel VJP, not the XLA scan fallback whose autodiff saves
+    O(L*N*D) per-level residuals (a 32 GB pred tensor at N=513k —
+    tmp/r5_onchip/giant_513k_bf16.log). _auto_pallas is pure shape/dtype
+    logic; the backend check is monkeypatched so this runs on CPU."""
+    import jax
+
+    from mgvae_tpu.train import step as step_mod
+
+    rng = np.random.default_rng(1)
+    g = layered_circuit(rng, "mig", width=512, depth=50, num_tt_pairs=16)
+    batch = {k: jnp.asarray(v) for k, v in collate([g]).items()
+             if not np.isscalar(v)}
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    from mgvae_tpu.ops.pallas.level_kernel import kernel_fits
+
+    # the shape must actually exceed the VMEM gate, else the test is vacuous
+    assert not kernel_fits(batch["gate"].shape[0],
+                           batch["lv_edge_src"].shape[-1],
+                           batch["lv_nodes"].shape[-1], 64)
+    for dtype in ("float32", "bfloat16"):
+        cfg = DGConfig(modality="mig", dim_hidden=64, layernorm=True,
+                       compute_dtype=dtype)
+        assert step_mod._auto_pallas(batch, cfg), dtype
