@@ -51,14 +51,13 @@ def _pick_chunk(ep: int, n: int, budget: int = _CHUNK_BYTES) -> int:
     GRANULARITY of the source-window guards: per level only the chunks
     overlapping [smin, smax) run their compare+matmul, so a smaller chunk
     wastes less one-hot work when the window (fanin locality, ~2-4 levels)
-    is narrower than the chunk. Round-5 on-chip sweep (tmp/r5_onchip/,
-    MIG bs16): 512 ties 2048 on fwd (0.628 vs 0.625 ms) and wins fwd+bwd
-    (2.975 vs 3.391 ms) — the backward has twice the chunk-guarded loops
-    (gather AND scatter transposes), so wasted window slack costs double
-    there. 512 is now the flat default (the old budget formula
-    clamp(budget/(4*Ep), 512, 2048) already floored at 512 for Ep >= 1024;
-    VMEM fit is enforced separately by kernel_fits). MGVAE_NCHUNK forces
-    an exact value for sweeps (tmp/exp_r5_chunk.py)."""
+    is narrower than the chunk. Round-5 CLEAN on-chip sweep
+    (tmp/r5_onchip/clean_tier_*.log, MIG bs16, quiet host): 512 and the
+    old budget-formula pick (1536 here) tie within noise on both fwd
+    (1.52 vs 1.53 ms) and fwd+bwd (3.98 vs 4.00 ms). 512 stays the flat
+    default as the simpler choice (the old formula already floored at 512
+    for Ep >= 1024; VMEM fit is enforced separately by kernel_fits).
+    MGVAE_NCHUNK forces an exact value for sweeps (tmp/exp_r5_chunk.py)."""
     import os
 
     del budget  # superseded by the measured flat default; see docstring

@@ -26,7 +26,7 @@ def main():
 
     from mgvae_tpu.models.dg_ae import DGConfig, forward, init_params
 
-    K, BATCH = 8, 16
+    K, BATCH = 16, 16  # K=16: at K=8 the ~27 ms sync dwarfs the 8-step signal
     nchunk = os.environ.get("MGVAE_NCHUNK", "default")
     cfg = DGConfig(modality="mig", dim_hidden=64, layernorm=True)
     params, state = init_params(jax.random.PRNGKey(0), cfg)
