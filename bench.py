@@ -347,20 +347,22 @@ def bench_large_train(roundtrip, batch_graphs=64):
     return batch_graphs / t_krn, batch_graphs / t_one, t_hi / t_def, batch_graphs / t_split
 
 
-def bench_d128(roundtrip):
-    """MXU-scaling evidence (VERDICT r2 item 4): D=128 kernel-vs-XLA fwd and
-    full train step, with an MFU estimate. At D=64 the kernel is
-    per-grid-step overhead-bound; D=128 quadruples the matmul work per level
-    and is where the MXU design claims start to cash out (full sweep incl.
-    D=256 + bf16: tmp/exp_r3_d128.py, results in benchmarks/README.md)."""
+def bench_dscale(roundtrip, D=128, compute_dtype="float32"):
+    """MXU-scaling evidence (VERDICT r2 item 4 / r4 item 5): kernel-vs-XLA
+    fwd and full train step at dim_hidden=D, with an MFU estimate. At D=64
+    the kernel is per-grid-step overhead-bound; D=128 quadruples the matmul
+    work per level and is where the MXU design claims start to cash out;
+    D=256 bf16 is the best-MFU point with the round-4 residual-saving
+    backward + bf16 kernels (full sweep: tmp/exp_r3_d128.py +
+    tmp/exp_r5_d256.py, results in benchmarks/README.md)."""
     import jax
     import jax.numpy as jnp
 
     from mgvae_tpu.models.dg_ae import DGConfig, forward, init_params
     from mgvae_tpu.train.step import make_multi_step, make_optimizer
 
-    D = 128
-    cfg = DGConfig(modality="mig", dim_hidden=D, layernorm=True)
+    cfg = DGConfig(modality="mig", dim_hidden=D, layernorm=True,
+                   compute_dtype=compute_dtype)
     params, state = init_params(jax.random.PRNGKey(0), cfg)
     sbatch, batch0 = stacked_batches("mig", 7, SCAN_K, 16)
 
@@ -384,7 +386,7 @@ def bench_d128(roundtrip):
         return multi(params, state, opt_state, sbatch, rngs, weights)[3]
 
     ms = train_scan(params, state, opt_state, sbatch, rngs, weights)
-    assert np.isfinite(np.asarray(ms)).all(), "non-finite D=128 train metrics"
+    assert np.isfinite(np.asarray(ms)).all(), f"non-finite D={D} train metrics"
     t_step = timed_scan(train_scan, (params, state, opt_state, sbatch, rngs, weights),
                         SCAN_K, roundtrip)
     # FLOP model (see tmp/exp_r3_d128.py): struct towers + level scan, x2
@@ -398,8 +400,9 @@ def bench_d128(roundtrip):
     flops = 3 * 2 * (struct + level)
     peak, kind = peak_flops_per_chip()
     mfu = flops / t_step / peak
-    log(f"[D=128] fwd kernel {t_k*1e3:.2f} ms vs XLA {t_x*1e3:.2f} ms "
-        f"({t_x/t_k:.2f}x); train {t_step*1e3:.2f} ms -> {16/t_step:.0f} g/s "
+    log(f"[D={D} {compute_dtype}] fwd kernel {t_k*1e3:.2f} ms vs XLA "
+        f"{t_x*1e3:.2f} ms ({t_x/t_k:.2f}x); train {t_step*1e3:.2f} ms -> "
+        f"{16/t_step:.0f} g/s "
         f"(MFU ~{mfu*100:.1f}% of {peak/1e12:.0f} TF/s peak on {kind})")
     return t_x / t_k, 16.0 / t_step, mfu * 100, peak, kind
 
@@ -501,7 +504,8 @@ def main():
     for i, mod in enumerate(("aig", "mig", "xag", "xmg")):
         res[mod] = bench_modality(mod, seed=i, roundtrip=roundtrip)
     big_kernel, big_xla, hi_cost, big_split = bench_large_train(roundtrip)
-    d128_ratio, d128_gps, d128_mfu, peak, kind = bench_d128(roundtrip)
+    d128_ratio, d128_gps, d128_mfu, peak, kind = bench_dscale(roundtrip)
+    d256_ratio, d256_gps, d256_mfu, _, _ = bench_dscale(roundtrip, 256, "bfloat16")
     # headline metric unchanged from round 1 (aig+mig harmonic mean) so
     # rounds stay comparable in NAME; values are NOT comparable to r01
     # (protocol v2 above measures strictly more honestly)
@@ -531,6 +535,9 @@ def main():
                     "d128_fwd_kernel_vs_xla_x": round(d128_ratio, 2),
                     "d128_train_gps": round(d128_gps, 1),
                     "d128_train_mfu_pct": round(d128_mfu, 2),
+                    "d256_bf16_fwd_kernel_vs_xla_x": round(d256_ratio, 2),
+                    "d256_bf16_train_gps": round(d256_gps, 1),
+                    "d256_bf16_train_mfu_pct": round(d256_mfu, 2),
                     "mfu_peak_flops": peak,
                     "mfu_device_kind": kind,
                 },

@@ -22,9 +22,10 @@ def main():
 
     D = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     dt = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     rt = measure_roundtrip()
-    log(f"backend {jax.default_backend()}, roundtrip {rt*1e3:.1f} ms")
-    row = run_dim(D, dt, rt)
+    log(f"backend {jax.default_backend()}, roundtrip {rt*1e3:.1f} ms, K={K}")
+    row = run_dim(D, dt, rt, K=K)
     import json
 
     print(json.dumps(row))
