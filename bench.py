@@ -505,7 +505,19 @@ def main():
         res[mod] = bench_modality(mod, seed=i, roundtrip=roundtrip)
     big_kernel, big_xla, hi_cost, big_split = bench_large_train(roundtrip)
     d128_ratio, d128_gps, d128_mfu, peak, kind = bench_dscale(roundtrip)
-    d256_ratio, d256_gps, d256_mfu, _, _ = bench_dscale(roundtrip, 256, "bfloat16")
+    # D=256 bf16 (VERDICT r4 item 5): best-throughput dim/dtype point with
+    # the round-4 bf16 HBM streaming. Guarded: a failure in this extras arm
+    # must not cost the headline JSON line.
+    try:
+        d256_ratio, d256_gps, d256_mfu, _, _ = bench_dscale(roundtrip, 256, "bfloat16")
+        d256 = {
+            "d256_bf16_fwd_kernel_vs_xla_x": round(d256_ratio, 2),
+            "d256_bf16_train_gps": round(d256_gps, 1),
+            "d256_bf16_train_mfu_pct": round(d256_mfu, 2),
+        }
+    except Exception as e:
+        log(f"[D=256 bfloat16] extras arm failed ({e!r}); omitting its rows")
+        d256 = {}
     # headline metric unchanged from round 1 (aig+mig harmonic mean) so
     # rounds stay comparable in NAME; values are NOT comparable to r01
     # (protocol v2 above measures strictly more honestly)
@@ -535,9 +547,7 @@ def main():
                     "d128_fwd_kernel_vs_xla_x": round(d128_ratio, 2),
                     "d128_train_gps": round(d128_gps, 1),
                     "d128_train_mfu_pct": round(d128_mfu, 2),
-                    "d256_bf16_fwd_kernel_vs_xla_x": round(d256_ratio, 2),
-                    "d256_bf16_train_gps": round(d256_gps, 1),
-                    "d256_bf16_train_mfu_pct": round(d256_mfu, 2),
+                    **d256,
                     "mfu_peak_flops": peak,
                     "mfu_device_kind": kind,
                 },
